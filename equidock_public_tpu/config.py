@@ -1,0 +1,197 @@
+"""Typed configuration for the TPU-native EquiDock framework.
+
+Replaces the reference's global argparse dict (`/root/reference/src/utils/args.py:15-313`)
+with an explicit, hashable dataclass that can be closed over by `jax.jit` safely.
+Defaults reproduce the reference's paper-model hyperparameters (args.py defaults plus
+the hyper-search fixed choices at args.py:272-275).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """IEGMN + keypoint/Kabsch-head hyperparameters.
+
+    Mirrors the model-relevant entries of the reference args dict
+    (`args.py:57-104`); field names follow the reference flags.
+    """
+
+    residue_emb_dim: int = 64
+    iegmn_lay_hid_dim: int = 64
+    iegmn_n_lays: int = 5
+    shared_layers: bool = False
+    num_att_heads: int = 50          # == number of keypoints K
+    nonlin: str = "lkyrelu"          # 'lkyrelu' | 'swish'
+    leakyrelu_neg_slope: float = 1e-2
+    dropout: float = 0.0
+    layer_norm: str = "LN"           # inside edge/node MLPs: '0' | 'BN' | 'LN'
+    layer_norm_coors: str = "0"      # inside coors MLP
+    final_h_layer_norm: str = "0"    # after each layer: '0' | 'LN' | 'GN' | 'BN'
+    cross_msgs: bool = True
+    use_dist_in_layers: bool = True
+    use_edge_features_in_gmn: bool = True
+    use_mean_node_features: bool = True
+    skip_weight_h: float = 0.5
+    x_connection_init: float = 0.0
+    fine_tune: bool = False
+    divide_coors_dist: bool = False
+    # Graph featurization constants (fixed by the reference pipeline).
+    num_residue_types: int = 21      # 20 canonical + 1 unknown
+    input_edge_feats_dim: int = 27   # 15 RBF + 12 orientation (protein_utils.py:371-390)
+    num_dist_sigmas: int = 15        # RBF ladder 1.5**x, x in [0, 15)
+    # Numerics.
+    dtype: str = "float32"           # compute dtype for MLP/attention matmuls
+    param_dtype: str = "float32"
+
+    @property
+    def input_node_feats_dim(self) -> int:
+        d = self.residue_emb_dim
+        if self.use_mean_node_features:
+            d += 5
+        return d
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """kNN-graph construction parameters (`args.py:44-51`)."""
+
+    graph_nodes: str = "residues"
+    graph_cutoff: float = 30.0
+    graph_max_neighbor: int = 10     # == K, the fixed in-degree of the padded tables
+    graph_residue_loc_is_alphaC: bool = True
+    pocket_cutoff: float = 8.0
+    translation_interval: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / loop parameters (`args.py:32-40, 63-70`)."""
+
+    lr: float = 2e-4
+    w_decay: float = 1e-4
+    scheduler: str = "warmup"        # 'warmup' | 'ROP'
+    warmup: float = 1.0
+    patience: int = 50
+    num_epochs: int = 10000
+    clip: float = 100.0
+    bs: int = 10
+    pocket_ot_loss_weight: float = 1.0
+    intersection_loss_weight: float = 10.0
+    intersection_sigma: float = 25.0
+    intersection_surface_ct: float = 10.0
+    random_seed: int = 8
+    # OT solver (replaces POT's exact network simplex, `ot_utils.py:22-29`):
+    # the reference detaches the transport plan, so a converged Sinkhorn plan
+    # reproduces the gradient semantics.
+    sinkhorn_epsilon: float = 0.01
+    sinkhorn_iters: int = 200
+    # Metering: fraction of train batches whose RMSD is measured (train.py:136).
+    train_rmsd_fraction: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    data: str = "db5"                # 'db5' | 'dips'
+    data_fraction: float = 1.0
+    split: int = 0
+    n_jobs: int = 4
+    raw_data_path: str = "/root/reference/data/benchmark5.5/structures"
+    split_files_path: str = "/root/reference/data/benchmark5.5/cv/cv_0"
+    cache_dir: str = "./cache"
+    # Padding buckets for node counts; a batch pads N_lig / N_rec up to the
+    # smallest bucket that fits (bounds XLA recompilations; SURVEY §7.3).
+    node_buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
+    pocket_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    swap_train: bool = True          # 50% ligand/receptor swap (db5_data.py:174-188)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. The reference is single-GPU (SURVEY §2.2); all of
+    this is new, TPU-first design."""
+
+    dp: int = 1                      # data-parallel (batch of complexes)
+    gp: int = 1                      # graph-parallel (node/edge partition axis)
+    mesh_axis_names: Tuple[str, ...] = ("data", "graph")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    debug: bool = False
+    checkpoint_dir: str = "./checkpts"
+    log_dir: str = "./stdouterr"
+
+    def banner(self) -> str:
+        """Model-name string encoding key hyperparameters, the analogue of the
+        reference's checkpoint-directory banner (`args.py:143-212`)."""
+        m, t = self.model, self.train
+        parts = [
+            ("drp", m.dropout), ("Wdec", t.w_decay), ("ITS_lw", t.intersection_loss_weight),
+            ("Hdim", m.iegmn_lay_hid_dim), ("Nlay", m.iegmn_n_lays),
+            ("shrdLay", m.shared_layers), ("SURFfs", m.use_mean_node_features),
+            ("ln", m.layer_norm), ("lnX", m.layer_norm_coors), ("Hnrm", m.final_h_layer_norm),
+            ("NattH", m.num_att_heads), ("skH", m.skip_weight_h),
+            ("xConnI", m.x_connection_init), ("LkySl", m.leakyrelu_neg_slope),
+            ("pokOTw", t.pocket_ot_loss_weight),
+        ]
+
+        def tostr(v):
+            if isinstance(v, bool):
+                return "T" if v else "F"
+            return str(v)
+
+        name = "EQUIDOCK_TPU__" + "#".join(f"{k}_{tostr(v)}" for k, v in parts)
+        if len(name) > 200:
+            name = name[:160] + hashlib.sha1(name.encode()).hexdigest()[:12]
+        return name
+
+    def cache_path(self) -> str:
+        """Derived cache directory, same discipline as `args.py:307-309`."""
+        g = self.graph
+        return (
+            f"{self.data.cache_dir}/{self.data.data}_{g.graph_nodes}"
+            f"_maxneighbor_{g.graph_max_neighbor}_cutoff_{g.graph_cutoff}"
+            f"_pocketCut_{g.pocket_cutoff}/cv_{self.data.split}"
+        )
+
+    # -- convenience constructors for the two paper models -------------------
+
+    @staticmethod
+    def dips_paper_model() -> "Config":
+        """Hyperparameters of the released DIPS checkpoint
+        (`inference_rigid.py:90-91`: 8 layers, unshared, skip 0.75, wd 1e-4)."""
+        return Config(
+            model=ModelConfig(iegmn_n_lays=8, shared_layers=False, skip_weight_h=0.75),
+            train=TrainConfig(lr=2e-4, w_decay=1e-4, patience=100),
+            data=DataConfig(data="dips"),
+        )
+
+    @staticmethod
+    def db5_paper_model() -> "Config":
+        """Hyperparameters of the released DB5 checkpoint
+        (`inference_rigid.py:93-94`: 5 layers, shared, skip 0.5, wd 1e-3)."""
+        return Config(
+            model=ModelConfig(iegmn_n_lays=5, shared_layers=True, skip_weight_h=0.5),
+            train=TrainConfig(lr=1e-4, w_decay=1e-3, patience=500),
+            data=DataConfig(data="db5"),
+        )
+
+
+def bucket_for(n: int, buckets: Tuple[int, ...]) -> int:
+    """Smallest bucket >= n; falls back to rounding up to the largest bucket's
+    granularity for outliers (SURVEY §7.3 drop/split policy: we pad instead)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    step = buckets[-1]
+    return ((n + step - 1) // step) * step

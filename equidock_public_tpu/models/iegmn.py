@@ -1,0 +1,325 @@
+"""IEGMN: SE(3)-equivariant graph matching network, batched and padded.
+
+TPU-native re-design of `src/model/rigid_docking_model.py:82-606`:
+  * message passing over fixed-degree neighbor tables (B, N, K) — dense masked
+    gathers + mean over K instead of DGL sparse kernels;
+  * ligand<->receptor cross-attention as one batched (B, N_l, N_r) matmul with
+    a node-mask outer product instead of a block-diagonal mask over a
+    concatenated node axis (`rigid_docking_model.py:68-78`);
+  * the keypoint/Kabsch head runs for the whole batch at once — batched (B,3,3)
+    SVD replaces the reference's per-complex Python loop + jitter/retry
+    (`rigid_docking_model.py:521-589`).
+
+All reference hyperparameter semantics (skip weights, gates, MLP shapes,
+normalization placement) are preserved so per-layer activations can be checked
+against the reference computation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..graph import PairBatch, ProteinBatch
+from ..ops.attention import cross_attention
+from ..ops.kabsch import apply_rigid, rigid_fit
+from ..ops.segment import gather_neighbors, masked_mean_over_k, masked_mean_over_nodes
+from .layers import (Params, dropout, embedding, graph_norm, init_embedding,
+                     init_layer_norm, init_linear, layer_norm, linear, nonlin)
+
+RBF_SIGMAS = tuple(1.5 ** x for x in range(15))  # rigid_docking_model.py:116
+
+
+# --------------------------------------------------------------------------- #
+# Parameter initialization
+# --------------------------------------------------------------------------- #
+
+def _init_mlp2(rng, in_dim, hid_dim, out_dim, use_ln: bool) -> Params:
+    """Linear -> Dropout -> nonlin -> (LN) -> Linear stack used by the edge,
+    node and coors MLPs (`rigid_docking_model.py:119-125,142-148,153-159`)."""
+    k1, k2 = jax.random.split(rng)
+    p = {"lin1": init_linear(k1, in_dim, hid_dim),
+         "lin2": init_linear(k2, hid_dim, out_dim)}
+    if use_ln:
+        p["ln"] = init_layer_norm(hid_dim)
+    return p
+
+
+def _mlp2(p: Params, x, cfg: ModelConfig, ln_kind: str, rng, train) -> jnp.ndarray:
+    h = linear(p["lin1"], x)
+    h = dropout(h, cfg.dropout, rng, train)
+    h = nonlin(h, cfg.nonlin, cfg.leakyrelu_neg_slope)
+    if ln_kind == "LN":
+        h = layer_norm(p["ln"], h)
+    return linear(p["lin2"], h)
+
+
+def init_iegmn_layer(rng, cfg: ModelConfig, orig_dim: int, h_dim: int,
+                     out_dim: int, fine_tune: bool) -> Params:
+    ks = jax.random.split(rng, 12)
+    edge_in = 2 * h_dim + cfg.input_edge_feats_dim + cfg.num_dist_sigmas
+    node_in = orig_dim + 2 * h_dim + out_dim
+    p: Params = {
+        "edge_mlp": _init_mlp2(ks[0], edge_in, out_dim, out_dim,
+                               cfg.layer_norm == "LN"),
+        "node_mlp": _init_mlp2(ks[1], node_in, h_dim, out_dim,
+                               cfg.layer_norm == "LN"),
+        "coors_mlp": _init_mlp2(ks[2], out_dim, out_dim, 1,
+                                cfg.layer_norm_coors == "LN"),
+        "att_q": init_linear(ks[3], h_dim, h_dim, bias=False),
+        "att_k": init_linear(ks[4], h_dim, h_dim, bias=False),
+        "att_v": init_linear(ks[5], h_dim, h_dim, bias=False),
+    }
+    if cfg.final_h_layer_norm in ("LN", "GN"):
+        p["final_h_norm"] = init_layer_norm(out_dim)
+    if fine_tune:
+        k6, k7, k8, k9 = jax.random.split(ks[6], 4)
+        p["ft_att_q"] = init_linear(k6, h_dim, h_dim, bias=False)
+        p["ft_att_k"] = init_linear(k7, h_dim, h_dim, bias=False)
+        p["ft_att_v1"] = init_linear(k8, h_dim, h_dim)
+        p["ft_att_v2"] = init_linear(k9, h_dim, 1)
+    return p
+
+
+def init_iegmn(rng, cfg: ModelConfig, n_lays: int, fine_tune: bool) -> Params:
+    ks = jax.random.split(rng, n_lays + 4)
+    in_dim = cfg.input_node_feats_dim
+    hid = cfg.iegmn_lay_hid_dim
+    layers: List[Params] = [
+        init_iegmn_layer(ks[0], cfg, in_dim, in_dim, hid, fine_tune)
+    ]
+    n_unique = 2 if cfg.shared_layers else n_lays
+    for i in range(1, n_unique):
+        layers.append(init_iegmn_layer(ks[i], cfg, in_dim, hid, hid, fine_tune))
+    return {
+        "embedding": init_embedding(ks[-4], cfg.num_residue_types,
+                                    cfg.residue_emb_dim),
+        "layers": layers,
+        "att_key_rot": init_linear(ks[-3], hid, cfg.num_att_heads * hid,
+                                   bias=False),
+        "att_query_rot": init_linear(ks[-2], hid, cfg.num_att_heads * hid,
+                                     bias=False),
+        "mlp_h_mean_rot": init_linear(ks[-1], hid, hid),
+    }
+
+
+def init_docking_model(rng, cfg: ModelConfig, n_lays: Optional[int] = None) -> Params:
+    """Rigid_Body_Docking_Net parameters (`rigid_docking_model.py:611-627`)."""
+    n_lays = n_lays if n_lays is not None else cfg.iegmn_n_lays
+    k1, k2 = jax.random.split(rng)
+    p = {"original": init_iegmn(k1, cfg, n_lays, fine_tune=False)}
+    if cfg.fine_tune:
+        p["finetune"] = init_iegmn(k2, cfg, 2, fine_tune=True)
+    return p
+
+
+# --------------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------------- #
+
+def _rbf_of_sq_dist(x_rel: jnp.ndarray, enabled: bool) -> jnp.ndarray:
+    """(B, N, K, 3) relative coords -> (B, N, K, 15) RBF of ||x_rel||^2
+    (`rigid_docking_model.py:208-218`)."""
+    d2 = jnp.sum(x_rel * x_rel, axis=-1, keepdims=True)
+    sig = jnp.asarray(RBF_SIGMAS, dtype=d2.dtype)
+    out = jnp.exp(-d2 / sig)
+    if not enabled:
+        out = out * 0.0
+    return out
+
+
+def iegmn_layer_forward(
+    p: Params,
+    cfg: ModelConfig,
+    fine_tune: bool,
+    skip: bool,
+    lig: ProteinBatch, rec: ProteinBatch,
+    x_l, h_l, x_r, h_r,
+    orig_h_l, orig_h_r,
+    he_l, he_r,
+    orig_x_l, orig_x_r,
+    rng=None, train: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One IEGMN layer (`rigid_docking_model.py:189-352`), both proteins."""
+    rngs = jax.random.split(rng, 6) if rng is not None else [None] * 6
+
+    def edge_messages(side: ProteinBatch, x, h, he, rng_):
+        x_src = gather_neighbors(x, side.nbr)                  # (B,N,K,3)
+        x_rel = x_src - x[:, :, None, :]                       # src - dst
+        rbf = _rbf_of_sq_dist(x_rel, cfg.use_dist_in_layers)
+        h_src = gather_neighbors(h, side.nbr)                  # (B,N,K,D)
+        h_dst = jnp.broadcast_to(h[:, :, None, :], h_src.shape)
+        msg_in = jnp.concatenate([h_src, h_dst, he, rbf], axis=-1)
+        msg = _mlp2(p["edge_mlp"], msg_in, cfg, cfg.layer_norm, rng_, train)
+        return x_rel, msg
+
+    x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0])
+    x_rel_r, msg_r = edge_messages(rec, x_r, h_r, he_r, rngs[1])
+
+    # Cross attention mu_i (`rigid_docking_model.py:244-256`)
+    def qk(h):
+        return nonlin(linear(p["att_q"], h), cfg.nonlin, cfg.leakyrelu_neg_slope)
+
+    def kk(h):
+        return nonlin(linear(p["att_k"], h), cfg.nonlin, cfg.leakyrelu_neg_slope)
+
+    cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r),
+                              lig.node_mask, rec.node_mask, cfg.cross_msgs)
+    cross_r = cross_attention(qk(h_r), kk(h_l), linear(p["att_v"], h_l),
+                              rec.node_mask, lig.node_mask, cfg.cross_msgs)
+
+    # Coordinate update (`rigid_docking_model.py:263-292`)
+    def coord_update(side: ProteinBatch, x, x_rel, msg, orig_x, rng_):
+        coef = _mlp2(p["coors_mlp"], msg, cfg, cfg.layer_norm_coors, rng_, train)
+        x_moment = x_rel * coef                                # (B,N,K,3)
+        x_upd = masked_mean_over_k(x_moment, side.nbr_mask)
+        return (cfg.x_connection_init * orig_x
+                + (1.0 - cfg.x_connection_init) * x
+                + x_upd)
+
+    x_final_l = coord_update(lig, x_l, x_rel_l, msg_l, orig_x_l, rngs[2])
+    x_final_r = coord_update(rec, x_r, x_rel_r, msg_r, orig_x_r, rngs[3])
+
+    if fine_tune:
+        # (`rigid_docking_model.py:294-310`)
+        def ft_qk(h, which):
+            return nonlin(linear(p[which], h), cfg.nonlin, cfg.leakyrelu_neg_slope)
+
+        def ft_v(h):
+            z = nonlin(linear(p["ft_att_v1"], h), cfg.nonlin,
+                       cfg.leakyrelu_neg_slope)
+            return linear(p["ft_att_v2"], z)
+
+        att_x_l = cross_attention(ft_qk(h_l, "ft_att_q"), ft_qk(h_r, "ft_att_k"),
+                                  x_r, lig.node_mask, rec.node_mask,
+                                  cfg.cross_msgs)
+        x_final_l = x_final_l + ft_v(h_l) * (x_l - att_x_l)
+        att_x_r = cross_attention(ft_qk(h_r, "ft_att_q"), ft_qk(h_l, "ft_att_k"),
+                                  x_l, rec.node_mask, lig.node_mask,
+                                  cfg.cross_msgs)
+        x_final_r = x_final_r + ft_v(h_r) * (x_r - att_x_r)
+
+    # Feature update (`rigid_docking_model.py:319-349`)
+    def node_update(side: ProteinBatch, h, msg, cross, orig_h, rng_):
+        aggr = masked_mean_over_k(msg, side.nbr_mask)
+        upd_in = jnp.concatenate([h, aggr, cross, orig_h], axis=-1)
+        upd = _mlp2(p["node_mlp"], upd_in, cfg, cfg.layer_norm, rng_, train)
+        if skip:
+            upd = cfg.skip_weight_h * upd + (1.0 - cfg.skip_weight_h) * h
+        if cfg.final_h_layer_norm == "LN":
+            upd = layer_norm(p["final_h_norm"], upd)
+        elif cfg.final_h_layer_norm == "GN":
+            upd = graph_norm(p["final_h_norm"], upd, side.node_mask)
+        return upd
+
+    h_final_l = node_update(lig, h_l, msg_l, cross_l, orig_h_l, rngs[4])
+    h_final_r = node_update(rec, h_r, msg_r, cross_r, orig_h_r, rngs[5])
+
+    return x_final_l, h_final_l, x_final_r, h_final_r
+
+
+def iegmn_forward(
+    p: Params,
+    cfg: ModelConfig,
+    batch: PairBatch,
+    x_l_in: jnp.ndarray,
+    n_lays: int,
+    fine_tune: bool,
+    rng=None, train: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IEGMN trunk + keypoint head (`rigid_docking_model.py:451-602`).
+
+    Returns (R (B,3,3), t (B,1,3), keypts_lig (B,H,3), keypts_rec (B,H,3)).
+    `x_l_in` is the current ligand coordinate frame ('new_x').
+    """
+    lig, rec = batch.lig, batch.rec
+    orig_x_l, orig_x_r = x_l_in, rec.x
+    x_l, x_r = x_l_in, rec.x
+
+    h_l = embedding(p["embedding"], lig.res_id)
+    h_r = embedding(p["embedding"], rec.res_id)
+    if cfg.use_mean_node_features:
+        h_l = jnp.concatenate([h_l, jnp.log(lig.mu_r_norm)], axis=-1)
+        h_r = jnp.concatenate([h_r, jnp.log(rec.mu_r_norm)], axis=-1)
+    orig_h_l, orig_h_r = h_l, h_r
+
+    gate = 1.0 if cfg.use_edge_features_in_gmn else 0.0
+    he_l = lig.edge_feat * gate
+    he_r = rec.edge_feat * gate
+
+    layers = p["layers"]
+    for i in range(n_lays):
+        if cfg.shared_layers:
+            lp = layers[0] if i == 0 else layers[1]
+        else:
+            lp = layers[i]
+        skip = i > 0  # h_dim == out_dim for every layer after the first
+        lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        x_l, h_l, x_r, h_r = iegmn_layer_forward(
+            lp, cfg, fine_tune, skip, lig, rec, x_l, h_l, x_r, h_r,
+            orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
+            rng=lrng, train=train)
+
+    # ---- keypoint head (`rigid_docking_model.py:521-589`), fully batched ----
+    d = cfg.iegmn_lay_hid_dim
+    H = cfg.num_att_heads
+    hrng = jax.random.fold_in(rng, 10_000) if rng is not None else None
+
+    def h_mean(h, mask, rng_):
+        z = linear(p["mlp_h_mean_rot"], h)
+        z = dropout(z, cfg.dropout, rng_, train)
+        z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
+        return masked_mean_over_nodes(z, mask)                  # (B, d)
+
+    mean_l = h_mean(h_l, lig.node_mask, hrng)
+    mean_r = h_mean(h_r, rec.node_mask, hrng)
+
+    def keypoints(h_side, x_side, mask_side, mean_other):
+        keys = linear(p["att_key_rot"], h_side).reshape(
+            h_side.shape[0], -1, H, d)                          # (B, N, H, d)
+        query = linear(p["att_query_rot"], mean_other).reshape(
+            -1, H, d)                                           # (B, H, d)
+        logits = jnp.einsum("bnhd,bhd->bhn", keys, query,
+                            preferred_element_type=jnp.float32) / math.sqrt(d)
+        logits = jnp.where(mask_side[:, None, :] > 0, logits, -1e9)
+        att = jax.nn.softmax(logits, axis=-1)                   # (B, H, N)
+        return jnp.einsum("bhn,bnc->bhc", att, x_side)          # (B, H, 3)
+
+    keypts_rec = keypoints(h_r, x_r, rec.node_mask, mean_l)
+    keypts_lig = keypoints(h_l, x_l, lig.node_mask, mean_r)
+
+    R, t = rigid_fit(keypts_lig, keypts_rec)
+    return R, t, keypts_lig, keypts_rec
+
+
+def docking_forward(
+    p: Params,
+    cfg: ModelConfig,
+    batch: PairBatch,
+    n_lays: Optional[int] = None,
+    rng=None, train: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Rigid_Body_Docking_Net forward (`rigid_docking_model.py:642-692`).
+
+    Returns dict with:
+      ligand_coords (B, N_l, 3) — predicted (R x + t) of the input ligand,
+      keypts_lig / keypts_rec (B, H, 3), R (B, 3, 3), t (B, 1, 3).
+    """
+    n_lays = n_lays if n_lays is not None else cfg.iegmn_n_lays
+    x_l = batch.lig.x
+    if cfg.fine_tune and "finetune" in p:
+        R0, t0, _, _ = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
+                                     fine_tune=False, rng=rng, train=train)
+        x_l = apply_rigid(x_l, R0, t0)
+        R, t, kl, kr = iegmn_forward(p["finetune"], cfg, batch, x_l, 2,
+                                     fine_tune=True, rng=rng, train=train)
+    else:
+        R, t, kl, kr = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
+                                     fine_tune=False, rng=rng, train=train)
+    lig_pred = apply_rigid(x_l, R, t)
+    return {"ligand_coords": lig_pred, "keypts_lig": kl, "keypts_rec": kr,
+            "R": R, "t": t}

@@ -1,0 +1,65 @@
+"""Training losses, batched and mask-aware.
+
+Reference semantics: per-complex losses assembled in a Python loop at
+`src/train.py:103-150`; here one fused computation over the padded batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..graph import PairBatch
+from ..ops.intersection import body_intersection_loss
+from ..ops.sinkhorn import pocket_ot_loss, sq_dist_mat
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-complex mean squared error over valid nodes x 3 coords — matches
+    torch MSELoss(reduction='mean') on the unpadded (N, 3) array
+    (`train.py:114-115`). pred/target (B, N, 3), mask (B, N) -> (B,)."""
+    se = jnp.sum(((pred - target) ** 2) * mask[..., None], axis=(1, 2))
+    return se / jnp.maximum(3.0 * jnp.sum(mask, axis=1), 1.0)
+
+
+def total_loss(
+    outputs: Dict[str, jnp.ndarray],
+    batch: PairBatch,
+    tc: TrainConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Scalar training loss + per-term metrics, batch-averaged over valid
+    complexes (the reference divides by the batch length, `train.py:143-150`).
+    """
+    lig_pred = outputs["ligand_coords"]
+    pm = batch.pair_mask
+    denom = jnp.maximum(jnp.sum(pm), 1.0)
+
+    lig_coors = masked_mse(lig_pred, batch.gt_lig, batch.lig.node_mask)
+
+    cost = (sq_dist_mat(batch.pocket_lig, outputs["keypts_lig"])
+            + sq_dist_mat(batch.pocket_rec, outputs["keypts_rec"]))
+    ot = pocket_ot_loss(cost, batch.pocket_mask,
+                        epsilon=tc.sinkhorn_epsilon, iters=tc.sinkhorn_iters)
+
+    intersection = body_intersection_loss(
+        lig_pred, batch.lig.node_mask, batch.rec.x, batch.rec.node_mask,
+        tc.intersection_sigma, tc.intersection_surface_ct)
+
+    lig_loss = jnp.sum(lig_coors * pm) / denom
+    ot_loss = jnp.sum(ot * pm) / denom
+    int_loss = jnp.sum(intersection * pm) / denom
+
+    loss = (lig_loss
+            + tc.pocket_ot_loss_weight * ot_loss
+            + tc.intersection_loss_weight * int_loss)
+    metrics = {
+        "loss": loss,
+        "ligand_coors_loss": lig_loss,
+        "receptor_coors_loss": jnp.zeros(()),  # receptor never moves (train.py:105)
+        "ot_loss": ot_loss,
+        "intersection_loss": int_loss,
+    }
+    return loss, metrics

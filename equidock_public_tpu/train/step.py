@@ -1,0 +1,64 @@
+"""Pure jitted train/eval steps.
+
+The reference's per-batch body (`src/train.py:84-169`: forward, per-complex
+loss loop, backward, clip, Adam step) compiles here into a single XLA program:
+one `value_and_grad` over the fused batched loss, optax update, all on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..graph import PairBatch
+from ..models.iegmn import docking_forward
+from .losses import total_loss
+from .optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, cfg: Config) -> TrainState:
+    opt = make_optimizer(cfg.train)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool):
+    out = docking_forward(params, cfg.model, batch, rng=rng, train=train)
+    loss, metrics = total_loss(out, batch, cfg.train)
+    return loss, (metrics, out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def train_step(
+    state: TrainState, batch: PairBatch, rng, cfg: Config
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    opt = make_optimizer(cfg.train)
+    (loss, (metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batch, rng, True)
+    gnorm = optax.global_norm(grads)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics)
+    metrics["grad_norm"] = gnorm
+    metrics["clipped"] = (gnorm > cfg.train.clip).astype(jnp.float32)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_step(params, batch: PairBatch, cfg: Config) -> Dict[str, jnp.ndarray]:
+    out = docking_forward(params, cfg.model, batch, rng=None, train=False)
+    _, metrics = total_loss(out, batch, cfg.train)
+    metrics = dict(metrics)
+    metrics["ligand_coords"] = out["ligand_coords"]
+    return metrics

@@ -1,0 +1,128 @@
+"""Model-level properties: shapes, padding invariance, SE(3) equivariance.
+
+Equivariance is the model's central mathematical claim (IEGMN, arXiv
+2111.07786) — never directly tested in the reference (SURVEY §4b).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from equidock_public_tpu.models.iegmn import docking_forward, init_docking_model
+
+from .utils import synth_batch, synth_protein, tiny_config
+
+
+def _forward(cfg, params, batch):
+    return jax.jit(
+        lambda p, b: docking_forward(p, cfg.model, b)
+    )(params, batch)
+
+
+def test_forward_shapes(rng):
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng)
+    out = _forward(cfg, params, batch)
+    B, N_l = batch.lig.x.shape[:2]
+    H = cfg.model.num_att_heads
+    assert out["ligand_coords"].shape == (B, N_l, 3)
+    assert out["keypts_lig"].shape == (B, H, 3)
+    assert out["R"].shape == (B, 3, 3)
+    assert out["t"].shape == (B, 1, 3)
+    R = np.asarray(out["R"])
+    eye = np.broadcast_to(np.eye(3), R.shape)
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1), eye, atol=1e-3)
+
+
+def test_padding_invariance(rng):
+    """Growing the padded node dimension must not change valid outputs — the
+    guarantee that bucketed padding (replacing dgl.batch) is semantics-free."""
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=1, N_l=12, N_r=16, n_l=10, n_r=13)
+
+    # Re-pad to larger buckets
+    def grow(p, n_new):
+        pad_n = n_new - p.x.shape[1]
+        def padf(a, fill=0.0):
+            cfgpad = [(0, 0), (0, pad_n)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, cfgpad, constant_values=fill)
+        return p.replace(
+            res_id=padf(p.res_id), x=padf(p.x),
+            mu_r_norm=padf(p.mu_r_norm, 1.0),
+            nbr=padf(p.nbr), nbr_mask=padf(p.nbr_mask),
+            edge_feat=padf(p.edge_feat), node_mask=padf(p.node_mask))
+
+    big = batch.replace(lig=grow(batch.lig, 20), rec=grow(batch.rec, 24),
+                        gt_lig=jnp.pad(batch.gt_lig, [(0, 0), (0, 8), (0, 0)]))
+
+    out_small = _forward(cfg, params, batch)
+    out_big = _forward(cfg, params, big)
+    n_l = 10
+    np.testing.assert_allclose(
+        np.asarray(out_small["ligand_coords"])[:, :n_l],
+        np.asarray(out_big["ligand_coords"])[:, :n_l], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_small["keypts_lig"]),
+                               np.asarray(out_big["keypts_lig"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_small["R"]),
+                               np.asarray(out_big["R"]), rtol=1e-3, atol=1e-4)
+
+
+def _transform_protein(p, Q, b):
+    return p.replace(x=jnp.einsum("ij,bnj->bni", Q, p.x) + b)
+
+
+def test_se3_equivariance_receptor_frame(rng):
+    """Rigidly moving the receptor by (Q, b) must move the predicted ligand
+    placement by exactly (Q, b): pred' = Q pred + b."""
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    # Large coordinate scale keeps the keypoint covariance well-conditioned
+    # (untrained attention collapses keypoints toward the centroid; at the
+    # degenerate point the rotation is ill-defined and the reference's own
+    # jitter-retry breaks equivariance as well).
+    batch = synth_batch(rng, B=2, coord_scale=400.0)
+    Q = jnp.asarray(Rotation.random(random_state=3).as_matrix().astype(np.float32))
+    b = jnp.asarray(np.array([3.0, -2.0, 7.0], np.float32))
+
+    out0 = _forward(cfg, params, batch)
+    batch_rot = batch.replace(rec=_transform_protein(batch.rec, Q, b))
+    out1 = _forward(cfg, params, batch_rot)
+
+    mask = np.asarray(batch.lig.node_mask)[..., None]
+    expect = jnp.einsum("ij,bnj->bni", Q, out0["ligand_coords"]) + b
+    np.testing.assert_allclose(
+        np.asarray(out1["ligand_coords"]) * mask, np.asarray(expect) * mask,
+        rtol=1e-3, atol=5e-3)
+
+
+def test_se3_invariance_ligand_frame(rng):
+    """Rigidly moving the ligand INPUT pose must leave the predicted (docked)
+    ligand coordinates unchanged — the headline claim of rigid docking by
+    direct (R, t) regression."""
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2, coord_scale=400.0)
+    Q = jnp.asarray(Rotation.random(random_state=5).as_matrix().astype(np.float32))
+    b = jnp.asarray(np.array([-4.0, 1.0, 2.0], np.float32))
+
+    out0 = _forward(cfg, params, batch)
+    batch_rot = batch.replace(lig=_transform_protein(batch.lig, Q, b))
+    out1 = _forward(cfg, params, batch_rot)
+
+    mask = np.asarray(batch.lig.node_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out1["ligand_coords"]) * mask,
+        np.asarray(out0["ligand_coords"]) * mask, rtol=1e-3, atol=5e-3)
+
+
+def test_shared_layers_param_structure():
+    cfg_shared = tiny_config(shared_layers=True, iegmn_n_lays=4)
+    cfg_unshared = tiny_config(shared_layers=False, iegmn_n_lays=4)
+    p_s = init_docking_model(jax.random.PRNGKey(0), cfg_shared.model)
+    p_u = init_docking_model(jax.random.PRNGKey(0), cfg_unshared.model)
+    assert len(p_s["original"]["layers"]) == 2   # layer0 + shared interm
+    assert len(p_u["original"]["layers"]) == 4
