@@ -1,0 +1,91 @@
+"""Shared CLI argument plumbing: flags -> Config (replaces the reference's
+global argparse dict, `src/utils/args.py`)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ..config import (Config, DataConfig, GraphConfig, ModelConfig,
+                      ParallelConfig, TrainConfig)
+
+
+def add_config_args(p: argparse.ArgumentParser) -> None:
+    # model (reference flag names, args.py:57-104)
+    p.add_argument("-iegmn_lay_hid_dim", type=int, default=64)
+    p.add_argument("-iegmn_n_lays", type=int, default=5)
+    p.add_argument("-residue_emb_dim", type=int, default=64)
+    p.add_argument("-num_att_heads", type=int, default=50)
+    p.add_argument("-shared_layers", action="store_true")
+    p.add_argument("-cross_msgs", action="store_true", default=True)
+    p.add_argument("-dropout", type=float, default=0.0)
+    p.add_argument("-layer_norm", default="LN", choices=["0", "LN"])
+    p.add_argument("-layer_norm_coors", default="0", choices=["0", "LN"])
+    p.add_argument("-final_h_layer_norm", default="0", choices=["0", "LN", "GN"])
+    p.add_argument("-nonlin", default="lkyrelu", choices=["lkyrelu", "swish"])
+    p.add_argument("-leakyrelu_neg_slope", type=float, default=1e-2)
+    p.add_argument("-skip_weight_h", type=float, default=0.5)
+    p.add_argument("-x_connection_init", type=float, default=0.0)
+    p.add_argument("-fine_tune", action="store_true")
+    # train (args.py:32-70)
+    p.add_argument("-lr", type=float, default=2e-4)
+    p.add_argument("-w_decay", type=float, default=1e-4)
+    p.add_argument("-patience", type=int, default=50)
+    p.add_argument("-num_epochs", type=int, default=10000)
+    p.add_argument("-clip", type=float, default=100.0)
+    p.add_argument("-bs", type=int, default=10)
+    p.add_argument("-warmup", type=float, default=1.0)
+    p.add_argument("-pocket_ot_loss_weight", type=float, default=1.0)
+    p.add_argument("-intersection_loss_weight", type=float, default=10.0)
+    p.add_argument("-intersection_sigma", type=float, default=25.0)
+    p.add_argument("-intersection_surface_ct", type=float, default=10.0)
+    p.add_argument("-random_seed", type=int, default=8)
+    # graph (args.py:44-55)
+    p.add_argument("-graph_cutoff", type=float, default=30.0)
+    p.add_argument("-graph_max_neighbor", type=int, default=10)
+    p.add_argument("-pocket_cutoff", type=float, default=8.0)
+    p.add_argument("-translation_interval", type=float, default=5.0)
+    # data
+    p.add_argument("-data", default="db5", choices=["db5", "dips"])
+    p.add_argument("-data_fraction", type=float, default=1.0)
+    p.add_argument("-split", type=int, default=0)
+    p.add_argument("-n_jobs", type=int, default=4)
+    p.add_argument("-raw_data_path",
+                   default="/root/reference/data/benchmark5.5/structures")
+    p.add_argument("-split_files_path",
+                   default="/root/reference/data/benchmark5.5/cv/cv_0")
+    p.add_argument("-cache_dir", default="./cache")
+    p.add_argument("-debug", action="store_true")
+    p.add_argument("-checkpoint_dir", default="./checkpts")
+
+
+def config_from_args(a: argparse.Namespace) -> Config:
+    return Config(
+        model=ModelConfig(
+            residue_emb_dim=a.residue_emb_dim,
+            iegmn_lay_hid_dim=a.iegmn_lay_hid_dim,
+            iegmn_n_lays=a.iegmn_n_lays, shared_layers=a.shared_layers,
+            num_att_heads=a.num_att_heads, nonlin=a.nonlin,
+            leakyrelu_neg_slope=a.leakyrelu_neg_slope, dropout=a.dropout,
+            layer_norm=a.layer_norm, layer_norm_coors=a.layer_norm_coors,
+            final_h_layer_norm=a.final_h_layer_norm,
+            skip_weight_h=a.skip_weight_h,
+            x_connection_init=a.x_connection_init, fine_tune=a.fine_tune),
+        graph=GraphConfig(
+            graph_cutoff=a.graph_cutoff,
+            graph_max_neighbor=a.graph_max_neighbor,
+            pocket_cutoff=a.pocket_cutoff,
+            translation_interval=a.translation_interval),
+        train=TrainConfig(
+            lr=a.lr, w_decay=a.w_decay, patience=a.patience,
+            num_epochs=a.num_epochs, clip=a.clip, bs=a.bs, warmup=a.warmup,
+            pocket_ot_loss_weight=a.pocket_ot_loss_weight,
+            intersection_loss_weight=a.intersection_loss_weight,
+            intersection_sigma=a.intersection_sigma,
+            intersection_surface_ct=a.intersection_surface_ct,
+            random_seed=a.random_seed),
+        data=DataConfig(
+            data=a.data, data_fraction=a.data_fraction, split=a.split,
+            n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,
+            split_files_path=a.split_files_path, cache_dir=a.cache_dir),
+        debug=a.debug, checkpoint_dir=a.checkpoint_dir)

@@ -1,0 +1,53 @@
+"""Inference CLI (replaces `python -m src.inference_rigid`).
+
+    python -m equidock_public_tpu.cli.inference -checkpoint <dir> \
+        -input_dir .../random_transformed -ground_truth_dir .../complexes \
+        -output_dir out/ [-remove_clashes]
+
+When -checkpoint is given, model hyperparameters are restored from the
+checkpoint's sidecar config (self-describing checkpoints, the analogue of
+`inference_rigid.py:102-103`).
+"""
+
+import argparse
+
+import jax
+
+from ..models.iegmn import init_docking_model
+from ..train.checkpoint import load_checkpoint
+from ..eval.inference import run_inference_dir
+from ._common import add_config_args, config_from_args
+
+
+def main():
+    p = argparse.ArgumentParser(description="EquiDock-TPU rigid inference")
+    add_config_args(p)
+    p.add_argument("-checkpoint", default="",
+                   help="checkpoint dir saved by train (orbax)")
+    p.add_argument("-input_dir", required=True)
+    p.add_argument("-ground_truth_dir", required=True)
+    p.add_argument("-output_dir", required=True)
+    p.add_argument("-method_name", default="equidock_tpu")
+    p.add_argument("-remove_clashes", action="store_true")
+    a = p.parse_args()
+    cfg = config_from_args(a)
+
+    if a.checkpoint:
+        payload, cfg_ckpt, _ = load_checkpoint(a.checkpoint)
+        params = payload["params"]
+        # adopt the checkpoint's model config
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=cfg_ckpt.model)
+    else:
+        print("WARNING: no checkpoint given - running with random init")
+        params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+
+    method = a.method_name + ("_no_clashes" if a.remove_clashes else "")
+    run_inference_dir(params, cfg, a.input_dir, a.ground_truth_dir,
+                      a.output_dir, method_name=method,
+                      remove_clashes=a.remove_clashes)
+
+
+if __name__ == "__main__":
+    main()

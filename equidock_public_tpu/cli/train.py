@@ -1,0 +1,32 @@
+"""Training CLI (replaces `python -m src.train`, `src/train.py:239-421`).
+
+    python -m equidock_public_tpu.cli.train [-toy] [flags...]
+
+`-toy` trains DB5 only; otherwise the DIPS->DB5 curriculum runs (DIPS cache
+must exist).
+"""
+
+import argparse
+
+from ..train.loop import curriculum, fit, make_logger
+from ._common import add_config_args, config_from_args
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train EquiDock-TPU")
+    add_config_args(p)
+    p.add_argument("-toy", action="store_true",
+                   help="train only on DB5.5 (args.py:113)")
+    p.add_argument("-max_epochs", type=int, default=None)
+    a = p.parse_args()
+    cfg = config_from_args(a)
+    log = make_logger(cfg)
+    log("Model name ===> ", cfg.banner())
+    if a.max_epochs is not None:
+        fit(cfg, max_epochs=a.max_epochs, log=log)
+    else:
+        curriculum(cfg, toy=a.toy, log=log)
+
+
+if __name__ == "__main__":
+    main()

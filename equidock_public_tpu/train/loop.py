@@ -1,0 +1,177 @@
+"""Epoch runner, early stopping and the DIPS->DB5 curriculum driver.
+
+Mirrors the structure of `src/train.py:54-415` (run_a_generic_epoch / train /
+main) on top of jitted steps and padded batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import DockingDataset
+from .checkpoint import load_checkpoint, save_checkpoint
+from .meter import RmsdMeter
+from .step import TrainState, create_train_state, eval_step, train_step
+
+
+def make_logger(cfg: Config) -> Callable:
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    path = os.path.join(cfg.log_dir, cfg.banner() + ".txt")
+
+    def log(*args):
+        line = "[{}] {}".format(time.strftime("%Y-%m-%d %H:%M:%S"),
+                                " ".join(str(a) for a in args))
+        print(line, flush=True)
+        with open(path, "a+") as f:
+            f.write(line + "\n")
+
+    return log
+
+
+def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
+                    rng: np.random.Generator, key, epoch: int,
+                    log=print) -> tuple:
+    """One training epoch (`run_a_generic_epoch('train')`, train.py:54-212).
+    Returns (state, metrics dict). Train RMSD is metered on ~10% of batches
+    (train.py:136)."""
+    meter = RmsdMeter()
+    sums: Dict[str, float] = {}
+    num_batches = 0
+    num_clips = 0
+    for batch in ds.batches(rng, shuffle=True):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub, cfg)
+        num_batches += 1
+        for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
+            sums[k] = sums.get(k, 0.0) + float(metrics[k])
+        num_clips += int(float(metrics["clipped"]))
+        if rng.uniform() < cfg.train.train_rmsd_fraction:
+            out = eval_step(state.params, batch, cfg)
+            meter.update_batch(batch, np.asarray(out["ligand_coords"]))
+    avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
+    _, _, crmsd_median = meter.summarize("median")
+    _, _, crmsd_mean = meter.summarize("mean")
+    avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
+               num_clips=num_clips, num_batches=num_batches)
+    return state, avg
+
+
+def run_eval_epoch(params, ds: DockingDataset, cfg: Config,
+                   rng: np.random.Generator) -> Dict[str, float]:
+    """Eval epoch (`run_an_eval_epoch`, train.py:220-236): deterministic (no
+    shuffle/swap; augmentation still applies the dataset's stored transform)."""
+    meter = RmsdMeter()
+    sums: Dict[str, float] = {}
+    num_batches = 0
+    for batch in ds.batches(rng, shuffle=False):
+        out = eval_step(params, batch, cfg)
+        num_batches += 1
+        for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
+            sums[k] = sums.get(k, 0.0) + float(out[k])
+        meter.update_batch(batch, np.asarray(out["ligand_coords"]))
+    avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
+    lig_med, _, crmsd_median = meter.summarize("median")
+    lig_mean, _, crmsd_mean = meter.summarize("mean")
+    avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
+               ligand_rmsd_median=lig_med, ligand_rmsd_mean=lig_mean)
+    return avg
+
+
+def fit(cfg: Config, state: Optional[TrainState] = None,
+        max_epochs: Optional[int] = None, log=None,
+        checkpoint_name: Optional[str] = None) -> TrainState:
+    """Train with early stopping on val complex-RMSD median, 0.98-improvement
+    rule and best-checkpoint reload for the final test — the reference's
+    `train()` driver (train.py:289-415)."""
+    log = log or make_logger(cfg)
+    rng = np.random.default_rng(cfg.train.random_seed)
+    key = jax.random.PRNGKey(cfg.train.random_seed)
+
+    train_ds = DockingDataset(cfg, "train")
+    val_ds = DockingDataset(cfg, "val", swap=False)
+    test_ds = DockingDataset(cfg, "test", swap=False)
+    log(f"Train:{len(train_ds)} Valid:{len(val_ds)} Test:{len(test_ds)}")
+
+    if state is None:
+        from ..models.iegmn import init_docking_model
+
+        key, sub = jax.random.split(key)
+        params = init_docking_model(sub, cfg.model)
+        state = create_train_state(params, cfg)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        log(f"Number of parameters = {n_params:,}")
+
+    ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.banner())
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_path = os.path.join(
+        ckpt_dir, checkpoint_name or (cfg.data.data + "_model_best"))
+
+    best_val = float("inf")
+    best_epoch = -1
+    patience_left = cfg.train.patience
+    epochs = max_epochs if max_epochs is not None else cfg.train.num_epochs
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log)
+        key = jax.random.fold_in(key, epoch + 1)
+        va = run_eval_epoch(state.params, val_ds, cfg, rng)
+        log(f"[TRAIN] epoch {epoch} loss {tr['loss']:.4f} "
+            f"lig {tr['ligand_coors_loss']:.4f} ot {tr['ot_loss']:.4f} "
+            f"int {tr['intersection_loss']:.4f} "
+            f"crmsd med {tr['complex_rmsd_median']:.4f} "
+            f"clips {tr['num_clips']}/{tr['num_batches']}")
+        log(f"[VAL]   epoch {epoch} loss {va['loss']:.4f} "
+            f"crmsd med {va['complex_rmsd_median']:.4f} "
+            f"mean {va['complex_rmsd_mean']:.4f} time {time.time()-t0:.1f}s")
+
+        # 0.98-improvement rule (train.py:372-377)
+        if va["complex_rmsd_median"] < best_val * 0.98:
+            best_val = va["complex_rmsd_median"]
+            best_epoch = epoch
+            patience_left = cfg.train.patience
+            save_checkpoint(ckpt_path, state, cfg, epoch)
+            log(f"  saved best checkpoint (val crmsd median {best_val:.4f})")
+        else:
+            patience_left -= 1
+        log(f"[BEST] epoch {best_epoch} val crmsd median {best_val:.4f} "
+            f"patience left {patience_left}")
+        if patience_left <= 0:
+            log("Early stopping.")
+            break
+
+    # Reload best for the final test (train.py:396-413)
+    if os.path.exists(ckpt_path):
+        payload, _, _ = load_checkpoint(ckpt_path, state)
+        state = TrainState(payload["params"], payload["opt_state"],
+                           payload["step"])
+    te = run_eval_epoch(state.params, test_ds, cfg, rng)
+    log(f"[FINAL TEST {cfg.data.data}] crmsd med {te['complex_rmsd_median']:.4f} "
+        f"mean {te['complex_rmsd_mean']:.4f} loss {te['loss']:.4f}")
+    return state
+
+
+def curriculum(cfg: Config, toy: bool = False, log=None) -> TrainState:
+    """DIPS -> DB5 curriculum (`main`, train.py:239-285); `toy` trains DB5
+    only (args.py:113)."""
+    log = log or make_logger(cfg)
+    state = None
+    if not toy:
+        dips_cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, data="dips"),
+            train=dataclasses.replace(cfg.train, lr=2e-4, patience=100))
+        state = fit(dips_cfg, state, log=log)
+    db5_cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, data="db5"),
+        train=dataclasses.replace(cfg.train, lr=1e-4, patience=500))
+    return fit(db5_cfg, state, log=log)
