@@ -47,6 +47,8 @@ class ModelConfig:
     # Numerics.
     dtype: str = "float32"           # compute dtype for MLP/attention matmuls
     param_dtype: str = "float32"
+    # Kernels: use the fused Pallas cross-attention (interpret-mode on CPU).
+    use_fused_attention: bool = False
 
     @property
     def input_node_feats_dim(self) -> int:

@@ -17,6 +17,7 @@ against the reference computation.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -143,9 +144,21 @@ def iegmn_layer_forward(
     he_l, he_r,
     orig_x_l, orig_x_r,
     rng=None, train: bool = False,
+    stats: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One IEGMN layer (`rigid_docking_model.py:189-352`), both proteins."""
+    """One IEGMN layer (`rigid_docking_model.py:189-352`), both proteins.
+
+    When `stats` is a dict, labelled per-stage tensor maxima are recorded —
+    the debug-trace mode of the reference (`rigid_docking_model.py:199-344`,
+    `-debug` flag) and the hook for per-layer activation parity checks.
+    """
     rngs = jax.random.split(rng, 6) if rng is not None else [None] * 6
+
+    def rec_stat(name, value, mask=None):
+        if stats is not None:
+            if mask is not None:
+                value = jnp.where(mask > 0, value, -jnp.inf)
+            stats[name] = jnp.max(value)
 
     def edge_messages(side: ProteinBatch, x, h, he, rng_):
         x_src = gather_neighbors(x, side.nbr)                  # (B,N,K,3)
@@ -159,6 +172,10 @@ def iegmn_layer_forward(
 
     x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0])
     x_rel_r, msg_r = edge_messages(rec, x_r, h_r, he_r, rngs[1])
+    rec_stat("x_now", x_l, lig.node_mask[..., None])
+    rec_stat("h_feat", h_l, lig.node_mask[..., None])
+    rec_stat("x_rel", x_rel_l, lig.nbr_mask[..., None])
+    rec_stat("msg", msg_l, lig.nbr_mask[..., None])
 
     # Cross attention mu_i (`rigid_docking_model.py:244-256`)
     def qk(h):
@@ -167,10 +184,21 @@ def iegmn_layer_forward(
     def kk(h):
         return nonlin(linear(p["att_k"], h), cfg.nonlin, cfg.leakyrelu_neg_slope)
 
-    cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r),
-                              lig.node_mask, rec.node_mask, cfg.cross_msgs)
-    cross_r = cross_attention(qk(h_r), kk(h_l), linear(p["att_v"], h_l),
-                              rec.node_mask, lig.node_mask, cfg.cross_msgs)
+    if cfg.use_fused_attention and cfg.cross_msgs:
+        from ..ops.pallas.cross_attention import cross_attention_fused
+
+        interp = jax.default_backend() == "cpu"
+        attend = functools.partial(cross_attention_fused, interpret=interp)
+        cross_l = attend(qk(h_l), kk(h_r), linear(p["att_v"], h_r),
+                         lig.node_mask, rec.node_mask)
+        cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l),
+                         rec.node_mask, lig.node_mask)
+    else:
+        cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r),
+                                  lig.node_mask, rec.node_mask, cfg.cross_msgs)
+        cross_r = cross_attention(qk(h_r), kk(h_l), linear(p["att_v"], h_l),
+                                  rec.node_mask, lig.node_mask, cfg.cross_msgs)
+    rec_stat("aggr_cross_msg", cross_l, lig.node_mask[..., None])
 
     # Coordinate update (`rigid_docking_model.py:263-292`)
     def coord_update(side: ProteinBatch, x, x_rel, msg, orig_x, rng_):
@@ -183,6 +211,7 @@ def iegmn_layer_forward(
 
     x_final_l = coord_update(lig, x_l, x_rel_l, msg_l, orig_x_l, rngs[2])
     x_final_r = coord_update(rec, x_r, x_rel_r, msg_r, orig_x_r, rngs[3])
+    rec_stat("x_final", x_final_l, lig.node_mask[..., None])
 
     if fine_tune:
         # (`rigid_docking_model.py:294-310`)
@@ -218,6 +247,7 @@ def iegmn_layer_forward(
 
     h_final_l = node_update(lig, h_l, msg_l, cross_l, orig_h_l, rngs[4])
     h_final_r = node_update(rec, h_r, msg_r, cross_r, orig_h_r, rngs[5])
+    rec_stat("h_final", h_final_l, lig.node_mask[..., None])
 
     return x_final_l, h_final_l, x_final_r, h_final_r
 
@@ -230,11 +260,14 @@ def iegmn_forward(
     n_lays: int,
     fine_tune: bool,
     rng=None, train: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    trace: Optional[list] = None,
+):
     """IEGMN trunk + keypoint head (`rigid_docking_model.py:451-602`).
 
     Returns (R (B,3,3), t (B,1,3), keypts_lig (B,H,3), keypts_rec (B,H,3)).
-    `x_l_in` is the current ligand coordinate frame ('new_x').
+    `x_l_in` is the current ligand coordinate frame ('new_x'). When `trace` is
+    a list, one dict of labelled activation maxima is appended per layer
+    (the reference's `-debug` logging, SURVEY §5 tracing).
     """
     lig, rec = batch.lig, batch.rec
     orig_x_l, orig_x_r = x_l_in, rec.x
@@ -259,10 +292,13 @@ def iegmn_forward(
             lp = layers[i]
         skip = i > 0  # h_dim == out_dim for every layer after the first
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        layer_stats: Optional[dict] = {} if trace is not None else None
         x_l, h_l, x_r, h_r = iegmn_layer_forward(
             lp, cfg, fine_tune, skip, lig, rec, x_l, h_l, x_r, h_r,
             orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
-            rng=lrng, train=train)
+            rng=lrng, train=train, stats=layer_stats)
+        if trace is not None:
+            trace.append(layer_stats)
 
     # ---- keypoint head (`rigid_docking_model.py:521-589`), fully batched ----
     d = cfg.iegmn_lay_hid_dim
@@ -302,24 +338,33 @@ def docking_forward(
     batch: PairBatch,
     n_lays: Optional[int] = None,
     rng=None, train: bool = False,
+    debug: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Rigid_Body_Docking_Net forward (`rigid_docking_model.py:642-692`).
 
     Returns dict with:
       ligand_coords (B, N_l, 3) — predicted (R x + t) of the input ligand,
-      keypts_lig / keypts_rec (B, H, 3), R (B, 3, 3), t (B, 1, 3).
+      keypts_lig / keypts_rec (B, H, 3), R (B, 3, 3), t (B, 1, 3);
+      plus "trace" (per-layer activation-stat dicts) when debug=True.
     """
     n_lays = n_lays if n_lays is not None else cfg.iegmn_n_lays
+    trace: Optional[list] = [] if debug else None
     x_l = batch.lig.x
     if cfg.fine_tune and "finetune" in p:
         R0, t0, _, _ = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
-                                     fine_tune=False, rng=rng, train=train)
+                                     fine_tune=False, rng=rng, train=train,
+                                     trace=trace)
         x_l = apply_rigid(x_l, R0, t0)
         R, t, kl, kr = iegmn_forward(p["finetune"], cfg, batch, x_l, 2,
-                                     fine_tune=True, rng=rng, train=train)
+                                     fine_tune=True, rng=rng, train=train,
+                                     trace=trace)
     else:
         R, t, kl, kr = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
-                                     fine_tune=False, rng=rng, train=train)
+                                     fine_tune=False, rng=rng, train=train,
+                                     trace=trace)
     lig_pred = apply_rigid(x_l, R, t)
-    return {"ligand_coords": lig_pred, "keypts_lig": kl, "keypts_rec": kr,
-            "R": R, "t": t}
+    out = {"ligand_coords": lig_pred, "keypts_lig": kl, "keypts_rec": kr,
+           "R": R, "t": t}
+    if debug:
+        out["trace"] = trace
+    return out

@@ -1,0 +1,91 @@
+"""Pallas kernels vs their XLA-composition references (interpret mode on CPU;
+the same kernels compile for TPU in the bench/train paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equidock_public_tpu.ops.attention import cross_attention
+from equidock_public_tpu.ops.pallas.cross_attention import cross_attention_fused
+
+
+def _inputs(rng, B=2, N=200, M=150, D=16):
+    q = rng.standard_normal((B, N, D)).astype(np.float32)
+    k = rng.standard_normal((B, M, D)).astype(np.float32)
+    v = rng.standard_normal((B, M, D)).astype(np.float32)
+    qm = np.zeros((B, N), np.float32)
+    km = np.zeros((B, M), np.float32)
+    qm[0, :180] = 1
+    qm[1, :77] = 1
+    km[0, :150] = 1
+    km[1, :31] = 1
+    return map(jnp.asarray, (q, k, v, qm, km))
+
+
+def test_fused_cross_attention_forward(rng):
+    q, k, v, qm, km = _inputs(rng)
+    ref = cross_attention(q, k, v, qm, km)
+    got = cross_attention_fused(q, k, v, qm, km, True)
+    # only valid query rows are semantically meaningful (masked rows attend
+    # uniformly over whatever padding exists and are discarded downstream)
+    w = np.asarray(qm)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * w, np.asarray(ref) * w,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_cross_attention_backward(rng):
+    q, k, v, qm, km = _inputs(rng, N=130, M=70)
+
+    def loss_ref(q, k, v):
+        out = cross_attention(q, k, v, qm, km)
+        return jnp.sum(out ** 2 * qm[..., None])
+
+    def loss_fused(q, k, v):
+        out = cross_attention_fused(q, k, v, qm, km, True)
+        return jnp.sum(out ** 2 * qm[..., None])
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_model_with_fused_attention_matches_xla(rng):
+    """Full model forward with the fused kernel == XLA path."""
+    import dataclasses
+
+    from equidock_public_tpu.models.iegmn import docking_forward, init_docking_model
+
+    from .utils import synth_batch, tiny_config
+
+    cfg = tiny_config()
+    cfg_fused = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_fused_attention=True))
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2, coord_scale=400.0)
+    out_ref = jax.jit(lambda p, b: docking_forward(p, cfg.model, b))(params, batch)
+    out_fused = jax.jit(
+        lambda p, b: docking_forward(p, cfg_fused.model, b))(params, batch)
+    w = np.asarray(batch.lig.node_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out_fused["ligand_coords"]) * w,
+        np.asarray(out_ref["ligand_coords"]) * w, rtol=1e-3, atol=1e-3)
+
+
+def test_debug_trace_collects_layer_stats(rng):
+    from equidock_public_tpu.models.iegmn import docking_forward, init_docking_model
+
+    from .utils import synth_batch, tiny_config
+
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2)
+    out = docking_forward(params, cfg.model, batch, debug=True)
+    assert len(out["trace"]) == cfg.model.iegmn_n_lays
+    for layer_stats in out["trace"]:
+        for key in ("x_now", "h_feat", "x_rel", "msg", "aggr_cross_msg",
+                    "x_final", "h_final"):
+            assert key in layer_stats
+            assert np.isfinite(float(layer_stats[key]))
