@@ -135,17 +135,22 @@ class DockingDataset:
 
     def __init__(self, cfg: Config, split: str, swap: Optional[bool] = None):
         self.cfg = cfg
-        path = os.path.join(cfg.cache_path(), f"{split}.npz")
-        z = np.load(path, allow_pickle=False)
-        self.codes = list(z["codes"])
-        self.samples: List[ComplexSample] = []
-        for i in range(len(self.codes)):
-            p = f"c{i}/"
-            self.samples.append(ComplexSample(
-                lig=_graph_from_npz(z, p + "lig/"),
-                rec=_graph_from_npz(z, p + "rec/"),
-                gt_lig=z[p + "gt_lig"], gt_rec=z[p + "gt_rec"],
-                pocket=z[p + "pocket"]))
+        if cfg.data.data == "dips":
+            from .dips import load_dips_shards
+
+            self.samples, self.codes = load_dips_shards(cfg, split)
+        else:
+            path = os.path.join(cfg.cache_path(), f"{split}.npz")
+            z = np.load(path, allow_pickle=False)
+            self.codes = list(z["codes"])
+            self.samples = []
+            for i in range(len(self.codes)):
+                p = f"c{i}/"
+                self.samples.append(ComplexSample(
+                    lig=_graph_from_npz(z, p + "lig/"),
+                    rec=_graph_from_npz(z, p + "rec/"),
+                    gt_lig=z[p + "gt_lig"], gt_rec=z[p + "gt_rec"],
+                    pocket=z[p + "pocket"]))
         if cfg.data.data_fraction < 1.0 and split == "train":
             n = max(1, int(cfg.data.data_fraction * len(self.samples)))
             self.samples = self.samples[:n]

@@ -1,0 +1,161 @@
+"""DIPS dataset support: dill pair files -> residue lists -> graph cache.
+
+The reference reads atom3 `Pair` pickles with `pd.read_pickle` and groups
+atoms by (chain, residue, resname) (`db5_data.py:24-35`). DIPS raw data is
+~42K pairs, so the cache is sharded (`SHARD_SIZE` complexes per .npz).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from .dataset import ComplexSample, _graph_from_npz, _graph_to_npz, _process_one
+from .featurize import (alpha_carbon_array, build_protein_graph,
+                        extract_pocket, filter_residues)
+from .pdb import GroupedResidue
+
+SHARD_SIZE = 512
+
+
+def residues_from_dataframe(df) -> List[GroupedResidue]:
+    """pandas DataFrame (atom3 layout: columns chain/residue/resname/
+    atom_name/x/y/z/element) -> sorted GroupedResidue list, matching
+    `get_residues_DIPS` (`db5_data.py:24-35`)."""
+    order = {}
+    chains = df["chain"].to_numpy()
+    resnums = df["residue"].to_numpy()
+    resnames = df["resname"].to_numpy()
+    for i in range(len(df)):
+        key = (str(chains[i]), int(resnums[i]), str(resnames[i]))
+        order.setdefault(key, []).append(i)
+    names = df["atom_name"].to_numpy()
+    coords = df[["x", "y", "z"]].to_numpy().astype(np.float32)
+    elements = (df["element"].to_numpy() if "element" in df.columns
+                else np.array([""] * len(df)))
+    out = []
+    for key in sorted(order.keys()):
+        idx = np.array(order[key], dtype=np.int64)
+        out.append((key, {
+            "atom_name": names[idx].astype(object),
+            "coords": coords[idx],
+            "element": elements[idx].astype(object),
+            "resname": key[2],
+        }))
+    return out
+
+
+def read_dips_pair(dill_path: str) -> Tuple[List[GroupedResidue], List[GroupedResidue]]:
+    """One DIPS pair pickle -> (ligand residues [df0], receptor residues [df1])."""
+    import pandas as pd
+
+    x = pd.read_pickle(dill_path)
+    df0 = x.df0.rename(columns={
+        "chain_id": "chain", "residue_number": "residue",
+        "residue_name": "resname", "x_coord": "x", "y_coord": "y",
+        "z_coord": "z", "element_symbol": "element"})
+    df1 = x.df1.rename(columns={
+        "chain_id": "chain", "residue_number": "residue",
+        "residue_name": "resname", "x_coord": "x", "y_coord": "y",
+        "z_coord": "z", "element_symbol": "element"})
+    return residues_from_dataframe(df0), residues_from_dataframe(df1)
+
+
+def _process_dips_one(task) -> Optional[ComplexSample]:
+    dill_path, pocket_cutoff, cutoff, max_neighbor = task
+    try:
+        lig_res, rec_res = read_dips_pair(dill_path)
+    except Exception:
+        return None
+    lig_res = filter_residues(lig_res)
+    rec_res = filter_residues(rec_res)
+    if len(lig_res) <= 1 or len(rec_res) <= 1:
+        return None
+    lig_ca = alpha_carbon_array(lig_res)
+    rec_ca = alpha_carbon_array(rec_res)
+    pocket = extract_pocket(lig_ca, rec_ca, pocket_cutoff)
+    if pocket is None:
+        return None
+    lig_g = build_protein_graph(lig_res, cutoff, max_neighbor)
+    rec_g = build_protein_graph(rec_res, cutoff, max_neighbor)
+    return ComplexSample(lig=lig_g, rec=rec_g, gt_lig=lig_ca, gt_rec=rec_ca,
+                         pocket=pocket[0])
+
+
+def build_dips_cache(cfg: Config, split: str,
+                     raw_data_path: str, split_files_path: str,
+                     log=print) -> List[str]:
+    """Preprocess one DIPS split into sharded .npz caches. Split lists come
+    from `pairs-postprocessed-{split}.txt` (SURVEY §2.3 #33)."""
+    gc = cfg.graph
+    cache_dir = cfg.cache_path()
+    os.makedirs(cache_dir, exist_ok=True)
+
+    list_file = os.path.join(split_files_path, f"pairs-postprocessed-{split}.txt")
+    with open(list_file) as f:
+        names = [l.strip() for l in f if l.strip()]
+    if split == "train" and cfg.data.data_fraction < 1.0:
+        rng = np.random.default_rng(cfg.train.random_seed)
+        rng.shuffle(names)
+        names = names[: int(cfg.data.data_fraction * len(names))]
+    log(f"dips {split}: {len(names)} pairs")
+
+    shard_paths = []
+    for shard_idx, start in enumerate(range(0, len(names), SHARD_SIZE)):
+        out_path = os.path.join(cache_dir, f"{split}_shard{shard_idx:04d}.npz")
+        shard_paths.append(out_path)
+        if os.path.exists(out_path):
+            continue
+        chunk = names[start: start + SHARD_SIZE]
+        tasks = [(os.path.join(raw_data_path, n), gc.pocket_cutoff,
+                  gc.graph_cutoff, gc.graph_max_neighbor) for n in chunk]
+        if cfg.data.n_jobs > 1:
+            with ProcessPoolExecutor(max_workers=cfg.data.n_jobs) as ex:
+                results = list(ex.map(_process_dips_one, tasks))
+        else:
+            results = [_process_dips_one(t) for t in tasks]
+        out: dict = {}
+        kept = []
+        idx = 0
+        for name, sample in zip(chunk, results):
+            if sample is None:
+                continue
+            p = f"c{idx}/"
+            _graph_to_npz(p + "lig/", sample.lig, out)
+            _graph_to_npz(p + "rec/", sample.rec, out)
+            out[p + "gt_lig"] = sample.gt_lig
+            out[p + "gt_rec"] = sample.gt_rec
+            out[p + "pocket"] = sample.pocket
+            kept.append(name)
+            idx += 1
+        out["codes"] = np.array(kept)
+        np.savez_compressed(out_path, **out)
+        log(f"  shard {shard_idx}: kept {idx}/{len(chunk)}")
+    return shard_paths
+
+
+def load_dips_shards(cfg: Config, split: str) -> Tuple[List[ComplexSample], List[str]]:
+    cache_dir = cfg.cache_path()
+    samples: List[ComplexSample] = []
+    codes: List[str] = []
+    shard_idx = 0
+    while True:
+        path = os.path.join(cache_dir, f"{split}_shard{shard_idx:04d}.npz")
+        if not os.path.exists(path):
+            break
+        z = np.load(path, allow_pickle=False)
+        names = list(z["codes"])
+        for i in range(len(names)):
+            p = f"c{i}/"
+            samples.append(ComplexSample(
+                lig=_graph_from_npz(z, p + "lig/"),
+                rec=_graph_from_npz(z, p + "rec/"),
+                gt_lig=z[p + "gt_lig"], gt_rec=z[p + "gt_rec"],
+                pocket=z[p + "pocket"]))
+        codes.extend(names)
+        shard_idx += 1
+    return samples, codes

@@ -78,6 +78,39 @@ def write_pdb(path: str, table: AtomTable, new_coords: np.ndarray) -> None:
         f.write("END\n")
 
 
+def _regen_ids(values: np.ndarray) -> np.ndarray:
+    """Renumber consecutive runs of equal values as 1, 2, 3, ...
+    (`testset_random_transf.py:25-37` regen_ids_from_zero)."""
+    out = np.empty(len(values), dtype=np.int64)
+    cur_id = 1
+    cur_val = values[0]
+    for i, v in enumerate(values):
+        if v != cur_val:
+            cur_val = v
+            cur_id += 1
+        out[i] = cur_id
+    return out
+
+
+def write_pdb_renumbered(path: str, table: AtomTable,
+                         new_coords: np.ndarray) -> None:
+    """Write with residue and atom numbers renumbered from 1 (used by the
+    frozen-test-set generator, `testset_random_transf.py:58-59`)."""
+    assert new_coords.shape == (len(table), 3)
+    res_ids = _regen_ids(np.array(
+        [f"{table.chain[i]}|{table.residue[i]}|{table.insertion[i]}"
+         for i in range(len(table))], dtype=object))
+    with open(path, "w") as f:
+        for i, line in enumerate(table.lines):
+            line = line.ljust(80)
+            x, y, z = new_coords[i]
+            line = (line[:6] + f"{i + 1:5d}" + line[11:22]
+                    + f"{res_ids[i]:4d}" + line[26:30]
+                    + f"{x:8.3f}{y:8.3f}{z:8.3f}" + line[54:])
+            f.write(line + "\n")
+        f.write("END\n")
+
+
 GroupedResidue = Tuple[Tuple[str, int, str], dict]
 
 

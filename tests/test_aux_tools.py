@@ -1,0 +1,89 @@
+"""Tests for auxiliary tools: DIPS reader, test-set generator, aligner."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from equidock_public_tpu.data.dips import read_dips_pair, residues_from_dataframe
+from equidock_public_tpu.data.pdb import ca_coords, read_pdb, write_pdb_renumbered
+
+PDB = "/root/reference/data/benchmark5.5/structures/1A2K_l_b.pdb"
+
+
+def _fake_dips_frame(n_res=5):
+    rows = []
+    rng = np.random.default_rng(0)
+    aid = 0
+    for r in range(n_res):
+        for name in ("N", "CA", "C", "O"):
+            rows.append(dict(
+                chain_id="A", residue_number=r + 1, residue_name="ALA",
+                atom_name=name, x_coord=rng.uniform(), y_coord=rng.uniform(),
+                z_coord=rng.uniform(), element_symbol=name[0], aid=aid))
+            aid += 1
+    return pd.DataFrame(rows)
+
+
+class _FakePair:
+    def __init__(self):
+        self.df0 = _fake_dips_frame(5)
+        self.df1 = _fake_dips_frame(7)
+
+
+def test_dips_reader(tmp_path):
+    path = tmp_path / "pair.dill"
+    pd.to_pickle(_FakePair(), path)
+    lig, rec = read_dips_pair(str(path))
+    assert len(lig) == 5 and len(rec) == 7
+    for key, cols in lig:
+        assert cols["resname"] == "ALA"
+        assert (cols["atom_name"] == "CA").sum() == 1
+        assert cols["coords"].shape[1] == 3
+
+
+def test_testset_generator_db5(tmp_path):
+    from equidock_public_tpu.cli.testset_gen import random_transf_pdb
+
+    rng = np.random.default_rng(0)
+    out_gt = str(tmp_path / "X_l_b_COMPLEX.pdb")
+    out_tr = str(tmp_path / "X_l_b.pdb")
+    random_transf_pdb(PDB, out_gt, rng, unchanged=True)
+    random_transf_pdb(PDB, out_tr, rng, unchanged=False)
+
+    orig = read_pdb(PDB)
+    gt = read_pdb(out_gt)
+    tr = read_pdb(out_tr)
+    # ground truth: coordinates preserved, ids renumbered from 1
+    np.testing.assert_allclose(gt.coords, orig.coords, atol=1e-3)
+    assert gt.residue[0] == 1
+    assert np.all(np.diff(gt.residue) >= 0)
+    # transformed: rigid (pairwise distances preserved), actually moved
+    d_orig = np.linalg.norm(orig.coords[0] - orig.coords[-1])
+    d_tr = np.linalg.norm(tr.coords[0] - tr.coords[-1])
+    np.testing.assert_allclose(d_tr, d_orig, atol=1e-2)
+    assert np.linalg.norm(tr.coords - orig.coords) > 0.1
+
+
+def test_align_receptor_roundtrip(tmp_path):
+    """Transform a ligand+receptor pair rigidly, then verify the aligner
+    recovers the ground-truth frame."""
+    from equidock_public_tpu.data.featurize import (rigid_transform_kabsch,
+                                                    uniform_rotation_translation)
+    from equidock_public_tpu.data.pdb import write_pdb
+
+    rng = np.random.default_rng(1)
+    table = read_pdb(PDB)
+    rot, tr = uniform_rotation_translation(rng, 10.0)
+    moved = (rot @ table.coords.T).T + tr
+    rec_moved_path = str(tmp_path / "rec_moved.pdb")
+    write_pdb(rec_moved_path, table, moved.astype(np.float32))
+
+    rec = read_pdb(rec_moved_path).coords
+    rec_gt = table.coords
+    R, b = rigid_transform_kabsch(rec.T, rec_gt.T)
+    back = ((R @ rec.T) + b).T
+    assert np.linalg.norm(back - rec_gt) < 1e-1
