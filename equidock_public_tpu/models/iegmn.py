@@ -87,19 +87,30 @@ def init_iegmn_layer(rng, cfg: ModelConfig, orig_dim: int, h_dim: int,
 
 
 def init_iegmn(rng, cfg: ModelConfig, n_lays: int, fine_tune: bool) -> Params:
+    """Layer storage: 'layer0' (its input dims differ) + 'rest'.
+
+    'rest' holds layers 1..n-1: a single layer's params when shared
+    (`rigid_docking_model.py:400-408`), otherwise the same PyTree with a
+    leading (n-1) axis — the stacked form consumed by `lax.scan`, keeping
+    compile time independent of depth (one traced layer instead of n unrolled
+    copies)."""
     ks = jax.random.split(rng, n_lays + 4)
     in_dim = cfg.input_node_feats_dim
     hid = cfg.iegmn_lay_hid_dim
-    layers: List[Params] = [
-        init_iegmn_layer(ks[0], cfg, in_dim, in_dim, hid, fine_tune)
-    ]
-    n_unique = 2 if cfg.shared_layers else n_lays
-    for i in range(1, n_unique):
-        layers.append(init_iegmn_layer(ks[i], cfg, in_dim, hid, hid, fine_tune))
+    layer0 = init_iegmn_layer(ks[0], cfg, in_dim, in_dim, hid, fine_tune)
+    rest: Optional[Params] = None
+    if n_lays > 1:
+        if cfg.shared_layers:
+            rest = init_iegmn_layer(ks[1], cfg, in_dim, hid, hid, fine_tune)
+        else:
+            uniques = [init_iegmn_layer(ks[i], cfg, in_dim, hid, hid, fine_tune)
+                       for i in range(1, n_lays)]
+            rest = jax.tree.map(lambda *xs: jnp.stack(xs), *uniques)
     return {
         "embedding": init_embedding(ks[-4], cfg.num_residue_types,
                                     cfg.residue_emb_dim),
-        "layers": layers,
+        "layer0": layer0,
+        "rest": rest,
         "att_key_rot": init_linear(ks[-3], hid, cfg.num_att_heads * hid,
                                    bias=False),
         "att_query_rot": init_linear(ks[-2], hid, cfg.num_att_heads * hid,
@@ -284,21 +295,51 @@ def iegmn_forward(
     he_l = lig.edge_feat * gate
     he_r = rec.edge_feat * gate
 
-    layers = p["layers"]
-    for i in range(n_lays):
-        if cfg.shared_layers:
-            lp = layers[0] if i == 0 else layers[1]
-        else:
-            lp = layers[i]
-        skip = i > 0  # h_dim == out_dim for every layer after the first
-        lrng = jax.random.fold_in(rng, i) if rng is not None else None
-        layer_stats: Optional[dict] = {} if trace is not None else None
-        x_l, h_l, x_r, h_r = iegmn_layer_forward(
-            lp, cfg, fine_tune, skip, lig, rec, x_l, h_l, x_r, h_r,
-            orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
-            rng=lrng, train=train, stats=layer_stats)
+    # Layer 0 (input dims differ, no skip connection).
+    layer0_stats: Optional[dict] = {} if trace is not None else None
+    lrng0 = jax.random.fold_in(rng, 0) if rng is not None else None
+    x_l, h_l, x_r, h_r = iegmn_layer_forward(
+        p["layer0"], cfg, fine_tune, False, lig, rec, x_l, h_l, x_r, h_r,
+        orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
+        rng=lrng0, train=train, stats=layer0_stats)
+    if trace is not None:
+        trace.append(layer0_stats)
+
+    # Layers 1..n-1 with skip connections. Fast path: lax.scan over stacked
+    # params so the layer body is traced/compiled once regardless of depth.
+    if n_lays > 1:
+        rest = p["rest"]
         if trace is not None:
-            trace.append(layer_stats)
+            # debug path: unrolled so per-layer labelled stats stay dicts
+            for i in range(1, n_lays):
+                lp = rest if cfg.shared_layers else jax.tree.map(
+                    lambda x: x[i - 1], rest)
+                lrng = jax.random.fold_in(rng, i) if rng is not None else None
+                layer_stats: dict = {}
+                x_l, h_l, x_r, h_r = iegmn_layer_forward(
+                    lp, cfg, fine_tune, True, lig, rec, x_l, h_l, x_r, h_r,
+                    orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
+                    rng=lrng, train=train, stats=layer_stats)
+                trace.append(layer_stats)
+        else:
+            def body(carry, scanned):
+                x_l, h_l, x_r, h_r = carry
+                lp, i = scanned
+                lrng = jax.random.fold_in(rng, i) if rng is not None else None
+                out = iegmn_layer_forward(
+                    lp, cfg, fine_tune, True, lig, rec, x_l, h_l, x_r, h_r,
+                    orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
+                    rng=lrng, train=train)
+                return out, None
+
+            idxs = jnp.arange(1, n_lays)
+            if cfg.shared_layers:
+                stacked = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (n_lays - 1,) + x.shape), rest)
+            else:
+                stacked = rest
+            (x_l, h_l, x_r, h_r), _ = jax.lax.scan(
+                body, (x_l, h_l, x_r, h_r), (stacked, idxs))
 
     # ---- keypoint head (`rigid_docking_model.py:521-589`), fully batched ----
     d = cfg.iegmn_lay_hid_dim

@@ -124,5 +124,6 @@ def test_shared_layers_param_structure():
     cfg_unshared = tiny_config(shared_layers=False, iegmn_n_lays=4)
     p_s = init_docking_model(jax.random.PRNGKey(0), cfg_shared.model)
     p_u = init_docking_model(jax.random.PRNGKey(0), cfg_unshared.model)
-    assert len(p_s["original"]["layers"]) == 2   # layer0 + shared interm
-    assert len(p_u["original"]["layers"]) == 4
+    # shared: single interm layer reused; unshared: stacked (n-1) leading axis
+    assert p_s["original"]["rest"]["edge_mlp"]["lin1"]["w"].ndim == 2
+    assert p_u["original"]["rest"]["edge_mlp"]["lin1"]["w"].shape[0] == 3
