@@ -175,47 +175,52 @@ def build_protein_graph(
     num = ca.shape[0]
     if num <= 1:
         raise ValueError("protein contains only 1 residue")
-    dist = residue_mean_distance_matrix(atoms)
+
+    from .. import native
+
+    dist = native.residue_mean_dist(atoms)
+    if dist is None:
+        dist = residue_mean_distance_matrix(atoms).astype(np.float32)
 
     K = max_neighbor
-    nbr = np.tile(np.arange(num, dtype=np.int32)[:, None], (1, K))
-    nbr_mask = np.zeros((num, K), dtype=bool)
-    nbr_dist = np.zeros((num, K), dtype=np.float32)
+    tables = native.knn_edges(dist, cutoff, K)
+    if tables is not None:
+        nbr, nbr_mask, nbr_dist = tables
+    else:
+        nbr = np.tile(np.arange(num, dtype=np.int32)[:, None], (1, K))
+        nbr_mask = np.zeros((num, K), dtype=bool)
+        nbr_dist = np.zeros((num, K), dtype=np.float32)
+        for i in range(num):
+            valid = np.where(dist[i, :] < cutoff)[0]
+            if valid.size > max_neighbor:
+                valid = np.argsort(dist[i, :])[:max_neighbor]
+            k = valid.size
+            nbr[i, :k] = valid
+            nbr_mask[i, :k] = True
+            nbr_dist[i, :k] = dist[i, valid]
 
-    src_list: List[np.ndarray] = []
-    dst_list: List[np.ndarray] = []
-    mean_norm = np.zeros((num, 5), dtype=np.float32)
+    # Surface-awareness feature mu_r_norm (`protein_utils.py:351-359`):
+    # softmax(-d^2/sigma) weighted mean of (x_i - x_j) vs the weighted mean of
+    # their norms, for 5 sigmas — vectorized over the neighbor tables.
+    d64 = nbr_dist.astype(np.float64)                                  # (N, K)
+    logits = -(d64[:, None, :] ** 2) / MU_R_SIGMAS[None, :, None]      # (N, 5, K)
+    logits = np.where(nbr_mask[:, None, :], logits, -np.inf)
+    logits -= np.max(np.where(nbr_mask[:, None, :], logits, -1e30),
+                     axis=2, keepdims=True)
+    w = np.exp(logits) * nbr_mask[:, None, :]
+    wsum = w.sum(axis=2, keepdims=True)
+    w = np.divide(w, wsum, out=np.zeros_like(w), where=wsum > 0)
+    diff = ca[:, None, :].astype(np.float64) - ca[nbr].astype(np.float64)  # (N, K, 3)
+    mean_vec = np.einsum("nsk,nkc->nsc", w, diff)                      # (N, 5, 3)
+    denom = np.einsum("nsk,nk->ns", w, np.linalg.norm(diff, axis=2))
+    ratio = np.divide(np.linalg.norm(mean_vec, axis=2), denom,
+                      out=np.ones((num, 5)), where=denom > 0)
+    mean_norm = ratio.astype(np.float32)
+    mean_norm[nbr_mask.sum(axis=1) == 0] = 1.0
 
-    for i in range(num):
-        valid = np.where(dist[i, :] < cutoff)[0]
-        if valid.size > max_neighbor:
-            valid = np.argsort(dist[i, :])[:max_neighbor]
-        k = valid.size
-        nbr[i, :k] = valid
-        nbr_mask[i, :k] = True
-        d_iv = dist[i, valid].astype(np.float64)
-        nbr_dist[i, :k] = d_iv
-
-        src_list.append(valid.astype(np.int32))
-        dst_list.append(np.full(k, i, dtype=np.int32))
-
-        # Surface-awareness feature mu_r_norm (`protein_utils.py:351-359`):
-        # softmax(-d^2/sigma) weighted mean of (x_i - x_j) vs weighted mean of
-        # their norms, for 5 sigmas.
-        if k > 0:
-            logits = -(d_iv[None, :] ** 2) / MU_R_SIGMAS[:, None]      # (5, k)
-            logits = logits - logits.max(axis=1, keepdims=True)
-            w = np.exp(logits)
-            w = w / w.sum(axis=1, keepdims=True)
-            diff = ca[i][None, :] - ca[valid]                           # (k, 3) x_dst - x_src
-            mean_vec = w @ diff                                         # (5, 3)
-            denom = w @ np.linalg.norm(diff, axis=1)                    # (5,)
-            mean_norm[i] = (np.linalg.norm(mean_vec, axis=1) / denom).astype(np.float32)
-        else:
-            mean_norm[i] = 1.0
-
-    src = np.concatenate(src_list) if src_list else np.zeros(0, np.int32)
-    dst = np.concatenate(dst_list) if dst_list else np.zeros(0, np.int32)
+    src = nbr[nbr_mask].astype(np.int32)
+    dst = np.broadcast_to(np.arange(num, dtype=np.int32)[:, None],
+                          nbr.shape)[nbr_mask].astype(np.int32)
 
     # --- edge features: 15 RBF of mean-atom distance + 12-dim relative
     # orientation s_ij = (p, q, k, t) expressed in the dst frame
