@@ -25,6 +25,12 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: repeated bench/train runs skip the (expensive)
+    # remote compile when the program is unchanged
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath("./jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from equidock_public_tpu.config import Config, ModelConfig, TrainConfig
     from equidock_public_tpu.models.iegmn import init_docking_model
     from equidock_public_tpu.train.step import create_train_state, train_step

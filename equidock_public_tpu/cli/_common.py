@@ -55,6 +55,10 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-split_files_path",
                    default="/root/reference/data/benchmark5.5/cv/cv_0")
     p.add_argument("-cache_dir", default="./cache")
+    p.add_argument("-node_buckets", default="",
+                   help="comma-separated padding buckets for node counts; "
+                        "coarser buckets = fewer XLA compiles")
+    p.add_argument("-pocket_buckets", default="")
     p.add_argument("-debug", action="store_true")
     p.add_argument("-checkpoint_dir", default="./checkpts")
 
@@ -87,5 +91,9 @@ def config_from_args(a: argparse.Namespace) -> Config:
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,
-            split_files_path=a.split_files_path, cache_dir=a.cache_dir),
+            split_files_path=a.split_files_path, cache_dir=a.cache_dir,
+            **({"node_buckets": tuple(int(x) for x in a.node_buckets.split(","))}
+               if a.node_buckets else {}),
+            **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
+               if a.pocket_buckets else {})),
         debug=a.debug, checkpoint_dir=a.checkpoint_dir)

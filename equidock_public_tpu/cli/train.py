@@ -7,6 +7,9 @@ must exist).
 """
 
 import argparse
+import os
+
+import jax
 
 from ..train.loop import curriculum, fit, make_logger
 from ._common import add_config_args, config_from_args
@@ -18,12 +21,18 @@ def main():
     p.add_argument("-toy", action="store_true",
                    help="train only on DB5.5 (args.py:113)")
     p.add_argument("-max_epochs", type=int, default=None)
+    p.add_argument("-max_seconds", type=float, default=None)
+    p.add_argument("-compile_cache", default="./jax_cache")
     a = p.parse_args()
+    if a.compile_cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(a.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = config_from_args(a)
     log = make_logger(cfg)
     log("Model name ===> ", cfg.banner())
-    if a.max_epochs is not None:
-        fit(cfg, max_epochs=a.max_epochs, log=log)
+    if a.max_epochs is not None or a.max_seconds is not None:
+        fit(cfg, max_epochs=a.max_epochs, log=log, max_seconds=a.max_seconds)
     else:
         curriculum(cfg, toy=a.toy, log=log)
 

@@ -87,7 +87,8 @@ def run_eval_epoch(params, ds: DockingDataset, cfg: Config,
 
 def fit(cfg: Config, state: Optional[TrainState] = None,
         max_epochs: Optional[int] = None, log=None,
-        checkpoint_name: Optional[str] = None) -> TrainState:
+        checkpoint_name: Optional[str] = None,
+        max_seconds: Optional[float] = None) -> TrainState:
     """Train with early stopping on val complex-RMSD median, 0.98-improvement
     rule and best-checkpoint reload for the final test — the reference's
     `train()` driver (train.py:289-415)."""
@@ -118,8 +119,12 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     best_epoch = -1
     patience_left = cfg.train.patience
     epochs = max_epochs if max_epochs is not None else cfg.train.num_epochs
+    t_start = time.time()
 
     for epoch in range(epochs):
+        if max_seconds is not None and time.time() - t_start > max_seconds:
+            log(f"Wall-clock budget ({max_seconds}s) reached at epoch {epoch}.")
+            break
         t0 = time.time()
         state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log)
         key = jax.random.fold_in(key, epoch + 1)

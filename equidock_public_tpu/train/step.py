@@ -47,7 +47,11 @@ def train_step(
     (loss, (metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, rng, True)
     gnorm = optax.global_norm(grads)
-    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    if cfg.train.scheduler == "ROP":
+        updates, opt_state = opt.update(grads, state.opt_state, state.params,
+                                        value=loss)
+    else:
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)
     metrics["grad_norm"] = gnorm
