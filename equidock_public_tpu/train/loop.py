@@ -22,6 +22,22 @@ from .meter import RmsdMeter
 from .step import TrainState, create_train_state, eval_step, train_step
 
 
+def make_tb_logger(cfg: Config):
+    """TensorBoard scalar writer (the reference's SummaryWriter usage,
+    `train.py:244,326-381`); no-op fallback when tensorboard is missing."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        os.makedirs("./tb_logs", exist_ok=True)
+        return SummaryWriter(log_dir=os.path.join("./tb_logs", cfg.banner()))
+    except Exception:
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+        return _Null()
+
+
 def make_logger(cfg: Config) -> Callable:
     os.makedirs(cfg.log_dir, exist_ok=True)
     path = os.path.join(cfg.log_dir, cfg.banner() + ".txt")
@@ -120,6 +136,8 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     patience_left = cfg.train.patience
     epochs = max_epochs if max_epochs is not None else cfg.train.num_epochs
     t_start = time.time()
+    tb = make_tb_logger(cfg)
+    tb_banner = cfg.data.data + "_"
 
     for epoch in range(epochs):
         if max_seconds is not None and time.time() - t_start > max_seconds:
@@ -137,6 +155,20 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         log(f"[VAL]   epoch {epoch} loss {va['loss']:.4f} "
             f"crmsd med {va['complex_rmsd_median']:.4f} "
             f"mean {va['complex_rmsd_mean']:.4f} time {time.time()-t0:.1f}s")
+
+        # TB scalars mirror `train.py:327-329,360-362`
+        tb.add_scalar("rmsd/" + tb_banner + "train_median",
+                      min(100.0, tr["complex_rmsd_median"]), epoch)
+        tb.add_scalar("sqrt_ot_loss/" + tb_banner + "train",
+                      min(100.0, math.sqrt(max(tr["ot_loss"], 0.0))), epoch)
+        tb.add_scalar("intersection_loss/" + tb_banner + "train",
+                      tr["intersection_loss"], epoch)
+        tb.add_scalar("rmsd/" + tb_banner + "valid_median_REF",
+                      min(100.0, va["complex_rmsd_median"]), epoch)
+        tb.add_scalar("sqrt_ot_loss/" + tb_banner + "valid",
+                      min(100.0, math.sqrt(max(va["ot_loss"], 0.0))), epoch)
+        tb.add_scalar("intersection_loss/" + tb_banner + "valid",
+                      va["intersection_loss"], epoch)
 
         # 0.98-improvement rule (train.py:372-377)
         if va["complex_rmsd_median"] < best_val * 0.98:
