@@ -14,13 +14,16 @@ import jax.numpy as jnp
 
 
 def gather_neighbors(values: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
-    """values (B, N, D), nbr (B, N, K) int -> (B, N, K, D): values[b, nbr[b,i,k]].
+    """values (B, N, D), nbr (B, M, K) int -> (B, M, K, D): values[b, nbr[b,i,k]].
+
+    M may differ from N (edge-partitioned case: local destination block
+    gathering from the full/gathered source set).
     """
-    B, N, D = values.shape
-    K = nbr.shape[-1]
-    idx = nbr.reshape(B, N * K)
+    B, _, D = values.shape
+    M, K = nbr.shape[1], nbr.shape[2]
+    idx = nbr.reshape(B, M * K)
     out = jnp.take_along_axis(values, idx[..., None], axis=1)
-    return out.reshape(B, N, K, D)
+    return out.reshape(B, M, K, D)
 
 
 def masked_mean_over_k(edge_values: jnp.ndarray, nbr_mask: jnp.ndarray) -> jnp.ndarray:
