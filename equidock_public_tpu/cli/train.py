@@ -23,16 +23,34 @@ def main():
     p.add_argument("-max_epochs", type=int, default=None)
     p.add_argument("-max_seconds", type=float, default=None)
     p.add_argument("-compile_cache", default="./jax_cache")
+    p.add_argument("-continue_train_model", default="",
+                   help="checkpoint dir to resume from; its config is adopted "
+                        "(args.py:131-138)")
     a = p.parse_args()
     if a.compile_cache:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.abspath(a.compile_cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = config_from_args(a)
+
+    state = None
+    if a.continue_train_model:
+        from ..train.checkpoint import load_checkpoint
+        from ..train.step import TrainState
+
+        payload, cfg_ckpt, epoch = load_checkpoint(a.continue_train_model)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=cfg_ckpt.model)
+        state = TrainState(payload["params"], payload["opt_state"],
+                           payload["step"])
+        print(f"Continuing from {a.continue_train_model} (epoch {epoch})")
+
     log = make_logger(cfg)
     log("Model name ===> ", cfg.banner())
     if a.max_epochs is not None or a.max_seconds is not None:
-        fit(cfg, max_epochs=a.max_epochs, log=log, max_seconds=a.max_seconds)
+        fit(cfg, state=state, max_epochs=a.max_epochs, log=log,
+            max_seconds=a.max_seconds)
     else:
         curriculum(cfg, toy=a.toy, log=log)
 

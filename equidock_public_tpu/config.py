@@ -49,6 +49,9 @@ class ModelConfig:
     param_dtype: str = "float32"
     # Kernels: use the fused Pallas cross-attention (interpret-mode on CPU).
     use_fused_attention: bool = False
+    # Rematerialize each IEGMN layer in the backward pass (trade FLOPs for
+    # HBM; lets deep configs / big buckets fit).
+    remat: bool = False
 
     @property
     def input_node_feats_dim(self) -> int:

@@ -116,6 +116,13 @@ def dock_one(
     R = np.asarray(out["R"][0])
     t = np.asarray(out["t"][0])
 
+    # sanity: R @ CA + t must equal the model's deformed output
+    # (`inference_rigid.py:202-203`)
+    n_l = lig_ca.shape[0]
+    pred_ca = np.asarray(out["ligand_coords"][0, :n_l])
+    resid = np.linalg.norm((R @ lig_g.x.T).T + t - pred_ca)
+    assert resid < 1e-1, f"R/t inconsistent with deformed coords: {resid}"
+
     # transform ALL atoms of the input ligand (`inference_rigid.py:205`)
     all_atoms = lig_table.coords
     moved = (R @ all_atoms.T).T + t

@@ -332,6 +332,9 @@ def iegmn_forward(
                     rng=lrng, train=train)
                 return out, None
 
+            if cfg.remat:
+                body = jax.checkpoint(body)
+
             idxs = jnp.arange(1, n_lays)
             if cfg.shared_layers:
                 stacked = jax.tree.map(

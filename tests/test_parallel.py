@@ -75,3 +75,37 @@ def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multihost_input_pipeline_agrees_on_shapes():
+    """Simulated 2-host input pipeline: identical schedules/shapes per host,
+    disjoint complexes, union == one epoch."""
+    import os
+    import numpy as np
+    from equidock_public_tpu.parallel.input_pipeline import (
+        global_batch_schedule, host_sharded_batches)
+    from equidock_public_tpu.data.dataset import DockingDataset
+    from .utils import tiny_config
+
+    cache = ("./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/"
+             "cv_0/val.npz")
+    if not os.path.exists(cache):
+        pytest.skip("DB5 val cache not built")
+    cfg = tiny_config()
+    ds = DockingDataset(cfg, "val", swap=False)
+
+    s0 = global_batch_schedule(ds, np.random.default_rng(7), bs=4)
+    s1 = global_batch_schedule(ds, np.random.default_rng(7), bs=4)
+    for (c0, sh0), (c1, sh1) in zip(s0, s1):
+        np.testing.assert_array_equal(c0, c1)
+        assert sh0 == sh1
+
+    b0 = list(host_sharded_batches(ds, np.random.default_rng(7), 4,
+                                   process_index=0, process_count=2))
+    b1 = list(host_sharded_batches(ds, np.random.default_rng(7), 4,
+                                   process_index=1, process_count=2))
+    assert len(b0) == len(b1)
+    for x, y in zip(b0, b1):
+        assert x.lig.x.shape == y.lig.x.shape       # shapes agree
+        assert x.rec.x.shape == y.rec.x.shape
+        assert x.pocket_lig.shape == y.pocket_lig.shape
