@@ -97,6 +97,8 @@ class TrainConfig:
     sinkhorn_iters: int = 200
     # Metering: fraction of train batches whose RMSD is measured (train.py:136).
     train_rmsd_fraction: float = 0.1
+    # Fused Pallas softmin-field kernel for the intersection loss.
+    use_fused_intersection: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,9 +44,19 @@ def total_loss(
     ot = pocket_ot_loss(cost, batch.pocket_mask,
                         epsilon=tc.sinkhorn_epsilon, iters=tc.sinkhorn_iters)
 
-    intersection = body_intersection_loss(
-        lig_pred, batch.lig.node_mask, batch.rec.x, batch.rec.node_mask,
-        tc.intersection_sigma, tc.intersection_surface_ct)
+    if tc.use_fused_intersection:
+        import jax
+
+        from ..ops.pallas.softmin_field import body_intersection_loss_fused
+
+        intersection = body_intersection_loss_fused(
+            lig_pred, batch.lig.node_mask, batch.rec.x, batch.rec.node_mask,
+            tc.intersection_sigma, tc.intersection_surface_ct,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        intersection = body_intersection_loss(
+            lig_pred, batch.lig.node_mask, batch.rec.x, batch.rec.node_mask,
+            tc.intersection_sigma, tc.intersection_surface_ct)
 
     lig_loss = jnp.sum(lig_coors * pm) / denom
     ot_loss = jnp.sum(ot * pm) / denom

@@ -89,3 +89,37 @@ def test_debug_trace_collects_layer_stats(rng):
                     "x_final", "h_final"):
             assert key in layer_stats
             assert np.isfinite(float(layer_stats[key]))
+
+
+def test_fused_intersection_loss(rng):
+    from equidock_public_tpu.ops.intersection import body_intersection_loss
+    from equidock_public_tpu.ops.pallas.softmin_field import (
+        body_intersection_loss_fused)
+
+    B, Nl, Nr = 2, 70, 130
+    lig = jnp.asarray((rng.standard_normal((B, Nl, 3)) * 5).astype(np.float32))
+    rec = jnp.asarray((rng.standard_normal((B, Nr, 3)) * 5).astype(np.float32))
+    lm = np.zeros((B, Nl), np.float32); lm[0, :60] = 1; lm[1] = 1
+    rm = np.zeros((B, Nr), np.float32); rm[0] = 1; rm[1, :90] = 1
+    lm, rm = jnp.asarray(lm), jnp.asarray(rm)
+    sigma, ct = 25.0, 10.0
+
+    ref = body_intersection_loss(lig, lm, rec, rm, sigma, ct)
+    got = body_intersection_loss_fused(lig, lm, rec, rm, sigma, ct,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients wrt both coordinate sets
+    def loss_ref(lig, rec):
+        return jnp.sum(body_intersection_loss(lig, lm, rec, rm, sigma, ct))
+
+    def loss_fused(lig, rec):
+        return jnp.sum(body_intersection_loss_fused(lig, lm, rec, rm, sigma,
+                                                    ct, interpret=True))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(lig, rec)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(lig, rec)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)
