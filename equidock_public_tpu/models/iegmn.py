@@ -51,12 +51,12 @@ def _init_mlp2(rng, in_dim, hid_dim, out_dim, use_ln: bool) -> Params:
 
 
 def _mlp2(p: Params, x, cfg: ModelConfig, ln_kind: str, rng, train) -> jnp.ndarray:
-    h = linear(p["lin1"], x)
+    h = linear(p["lin1"], x, cfg.dtype)
     h = dropout(h, cfg.dropout, rng, train)
     h = nonlin(h, cfg.nonlin, cfg.leakyrelu_neg_slope)
     if ln_kind == "LN":
         h = layer_norm(p["ln"], h)
-    return linear(p["lin2"], h)
+    return linear(p["lin2"], h, cfg.dtype)
 
 
 def init_iegmn_layer(rng, cfg: ModelConfig, orig_dim: int, h_dim: int,
@@ -190,24 +190,24 @@ def iegmn_layer_forward(
 
     # Cross attention mu_i (`rigid_docking_model.py:244-256`)
     def qk(h):
-        return nonlin(linear(p["att_q"], h), cfg.nonlin, cfg.leakyrelu_neg_slope)
+        return nonlin(linear(p["att_q"], h, cfg.dtype), cfg.nonlin, cfg.leakyrelu_neg_slope)
 
     def kk(h):
-        return nonlin(linear(p["att_k"], h), cfg.nonlin, cfg.leakyrelu_neg_slope)
+        return nonlin(linear(p["att_k"], h, cfg.dtype), cfg.nonlin, cfg.leakyrelu_neg_slope)
 
     if cfg.use_fused_attention and cfg.cross_msgs:
         from ..ops.pallas.cross_attention import cross_attention_fused
 
         interp = jax.default_backend() == "cpu"
         attend = functools.partial(cross_attention_fused, interpret=interp)
-        cross_l = attend(qk(h_l), kk(h_r), linear(p["att_v"], h_r),
+        cross_l = attend(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
                          lig.node_mask, rec.node_mask)
-        cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l),
+        cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
                          rec.node_mask, lig.node_mask)
     else:
-        cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r),
+        cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
                                   lig.node_mask, rec.node_mask, cfg.cross_msgs)
-        cross_r = cross_attention(qk(h_r), kk(h_l), linear(p["att_v"], h_l),
+        cross_r = cross_attention(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
                                   rec.node_mask, lig.node_mask, cfg.cross_msgs)
     rec_stat("aggr_cross_msg", cross_l, lig.node_mask[..., None])
 
@@ -350,7 +350,7 @@ def iegmn_forward(
     hrng = jax.random.fold_in(rng, 10_000) if rng is not None else None
 
     def h_mean(h, mask, rng_):
-        z = linear(p["mlp_h_mean_rot"], h)
+        z = linear(p["mlp_h_mean_rot"], h, cfg.dtype)
         z = dropout(z, cfg.dropout, rng_, train)
         z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
         return masked_mean_over_nodes(z, mask)                  # (B, d)
@@ -359,9 +359,9 @@ def iegmn_forward(
     mean_r = h_mean(h_r, rec.node_mask, hrng)
 
     def keypoints(h_side, x_side, mask_side, mean_other):
-        keys = linear(p["att_key_rot"], h_side).reshape(
+        keys = linear(p["att_key_rot"], h_side, cfg.dtype).reshape(
             h_side.shape[0], -1, H, d)                          # (B, N, H, d)
-        query = linear(p["att_query_rot"], mean_other).reshape(
+        query = linear(p["att_query_rot"], mean_other, cfg.dtype).reshape(
             -1, H, d)                                           # (B, H, d)
         logits = jnp.einsum("bnhd,bhd->bhn", keys, query,
                             preferred_element_type=jnp.float32) / math.sqrt(d)

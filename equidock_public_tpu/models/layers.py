@@ -25,11 +25,20 @@ def init_linear(rng, in_dim: int, out_dim: int, bias: bool = True) -> Params:
     return p
 
 
-def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=jnp.float32)
+def linear(p: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Affine map. With compute_dtype='bfloat16' both operands are cast to
+    bf16 for the MXU (2x FLOPs on TPU) while accumulating in f32; params stay
+    f32 (mixed-precision pattern). Output is returned in f32."""
+    w = p["w"]
+    xin = x
+    if compute_dtype is not None and compute_dtype != "float32":
+        dt = jnp.dtype(compute_dtype)
+        xin = x.astype(dt)
+        w = w.astype(dt)
+    y = jnp.einsum("...i,io->...o", xin, w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
-    return y.astype(x.dtype)
+    return y.astype(jnp.float32)
 
 
 def init_layer_norm(dim: int) -> Params:

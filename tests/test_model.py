@@ -127,3 +127,22 @@ def test_shared_layers_param_structure():
     # shared: single interm layer reused; unshared: stacked (n-1) leading axis
     assert p_s["original"]["rest"]["edge_mlp"]["lin1"]["w"].ndim == 2
     assert p_u["original"]["rest"]["edge_mlp"]["lin1"]["w"].shape[0] == 3
+
+
+def test_bf16_compute_close_to_f32(rng):
+    """Mixed-precision (bf16 matmuls, f32 accumulate) stays within bf16
+    tolerance of the f32 path."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg_bf16 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16"))
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2, coord_scale=400.0)
+    out32 = jax.jit(lambda p, b: docking_forward(p, cfg.model, b))(params, batch)
+    out16 = jax.jit(lambda p, b: docking_forward(p, cfg_bf16.model, b))(params, batch)
+    mask = np.asarray(batch.lig.node_mask)[..., None]
+    ref = np.asarray(out32["ligand_coords"]) * mask
+    got = np.asarray(out16["ligand_coords"]) * mask
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 0.05, np.abs(got - ref).max()
