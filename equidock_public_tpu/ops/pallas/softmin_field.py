@@ -23,8 +23,7 @@ from jax.experimental import pallas as pl
 BLOCK_M = 256
 
 
-def _fwd_kernel(sigma_ref, x_ref, a_ref, am_ref, s_ref):
-    sigma = sigma_ref[0]
+def _fwd_kernel(x_ref, a_ref, am_ref, s_ref, *, sigma):
     x = x_ref[0]                                   # (BM, 3)
     a = a_ref[0]                                   # (N, 3)
     am = am_ref[0]                                 # (N,)
@@ -36,14 +35,13 @@ def _fwd_kernel(sigma_ref, x_ref, a_ref, am_ref, s_ref):
     s_ref[0] = jnp.sum(w, axis=-1)
 
 
-def _bwd_kernel(sigma_ref, x_ref, a_ref, am_ref, c_ref, dx_ref, da_ref):
+def _bwd_kernel(x_ref, a_ref, am_ref, c_ref, dx_ref, da_ref, *, sigma):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         da_ref[0] = jnp.zeros_like(da_ref[0])
 
-    sigma = sigma_ref[0]
     x = x_ref[0]
     a = a_ref[0]
     am = am_ref[0]
@@ -79,13 +77,11 @@ def _fwd(x, a, a_mask, sigma, interpret):
     N = a.shape[1]
     Mp = pl.cdiv(M, BLOCK_M) * BLOCK_M
     xp = _pad_m(x, Mp)
-    sig = jnp.full((1,), sigma, jnp.float32)
     grid = (B, Mp // BLOCK_M)
     s = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, sigma=float(sigma)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i: (0,)),
             pl.BlockSpec((1, BLOCK_M, 3), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, N), lambda b, i: (b, 0)),
@@ -93,7 +89,7 @@ def _fwd(x, a, a_mask, sigma, interpret):
         out_specs=pl.BlockSpec((1, BLOCK_M), lambda b, i: (b, i)),
         out_shape=jax.ShapeDtypeStruct((B, Mp), jnp.float32),
         interpret=interpret,
-    )(sig, xp, a, a_mask)
+    )(xp, a, a_mask)
     return s[:, :M], (xp, a, a_mask, M)
 
 
@@ -107,13 +103,11 @@ def _vjp_bwd(sigma, interpret, res, g):
     B, Mp, _ = xp.shape
     N = a.shape[1]
     gp = _pad_m(g[:, :, None], Mp)[:, :, 0]
-    sig = jnp.full((1,), sigma, jnp.float32)
     grid = (B, Mp // BLOCK_M)
     dx, da = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, sigma=float(sigma)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i: (0,)),
             pl.BlockSpec((1, BLOCK_M, 3), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, N), lambda b, i: (b, 0)),
@@ -128,7 +122,7 @@ def _vjp_bwd(sigma, interpret, res, g):
             jax.ShapeDtypeStruct((B, N, 3), a.dtype),
         ],
         interpret=interpret,
-    )(sig, xp, a, a_mask, gp)
+    )(xp, a, a_mask, gp)
     return dx[:, :M], da, jnp.zeros_like(a_mask)
 
 

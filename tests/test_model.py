@@ -146,3 +146,38 @@ def test_bf16_compute_close_to_f32(rng):
     got = np.asarray(out16["ligand_coords"]) * mask
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 0.05, np.abs(got - ref).max()
+
+
+def test_graph_norm_and_fine_tune_paths(rng):
+    """Exercise final_h_layer_norm='GN' (GraphNorm) and the fine_tune second
+    IEGMN stage (`rigid_docking_model.py:622-625`)."""
+    import dataclasses
+
+    cfg = tiny_config(final_h_layer_norm="GN", fine_tune=True)
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    assert "finetune" in params
+    batch = synth_batch(rng, B=2, coord_scale=400.0)
+    out = jax.jit(lambda p, b: docking_forward(p, cfg.model, b))(params, batch)
+    assert np.isfinite(np.asarray(out["ligand_coords"])).all()
+    R = np.asarray(out["R"])
+    eye = np.broadcast_to(np.eye(3), R.shape)
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1), eye, atol=1e-3)
+
+
+def test_graph_norm_matches_reference_semantics(rng):
+    """GraphNorm == per-graph (x - mean)/(std + eps) with sample std
+    (`src/utils/graph_norm.py:26-41`), computed over valid nodes only."""
+    from equidock_public_tpu.models.layers import graph_norm, init_layer_norm
+
+    B, N, D = 2, 10, 6
+    x = rng.standard_normal((B, N, D)).astype(np.float32)
+    mask = np.zeros((B, N), np.float32)
+    mask[0, :7] = 1
+    mask[1, :10] = 1
+    p = init_layer_norm(D)
+    got = np.asarray(graph_norm(p, jnp.asarray(x), jnp.asarray(mask)))
+    for b in range(B):
+        n = int(mask[b].sum())
+        xx = x[b, :n]
+        ref = (xx - xx.mean(0)) / (xx.std(0, ddof=1) + 1e-5)
+        np.testing.assert_allclose(got[b, :n], ref, rtol=1e-4, atol=1e-5)
