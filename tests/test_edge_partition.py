@@ -46,3 +46,28 @@ def test_sharded_layer_matches_dense(rng):
     for a, b in zip(dense, sharded):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_ring_cross_attention_matches_dense(rng):
+    from equidock_public_tpu.ops.attention import cross_attention
+    from equidock_public_tpu.parallel.ring_attention import (
+        make_ring_cross_attention)
+
+    B, N, M, D = 4, 16, 24, 8
+    q = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    qm = np.zeros((B, N), np.float32); qm[:, :13] = 1
+    km = np.zeros((B, M), np.float32); km[:, :19] = 1
+    qm, km = jnp.asarray(qm), jnp.asarray(km)
+
+    ref = cross_attention(q, k, v, qm, km)
+
+    mesh = make_mesh(dp=4, gp=2)
+    ring = make_ring_cross_attention(mesh)
+    with jax.set_mesh(mesh):
+        got = ring(q, k, v, qm, km)
+
+    w = np.asarray(qm)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * w, np.asarray(ref) * w,
+                               rtol=1e-4, atol=1e-5)
