@@ -22,6 +22,32 @@ from .meter import RmsdMeter
 from .step import TrainState, create_train_state, eval_step, train_step
 
 
+def prefetch_to_device(iterator, size: int = 2):
+    """Producer-thread prefetch: collate + device_put the next batches while
+    the current step runs (hides the host->device transfer latency, which
+    dominates per-step time on the tunneled TPU)."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(jax.device_put(item))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
 def make_tb_logger(cfg: Config):
     """TensorBoard scalar writer (the reference's SummaryWriter usage,
     `train.py:244,326-381`); no-op fallback when tensorboard is missing."""
@@ -62,7 +88,7 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
     sums: Dict[str, float] = {}
     num_batches = 0
     num_clips = 0
-    for batch in ds.batches(rng, shuffle=True):
+    for batch in prefetch_to_device(ds.batches(rng, shuffle=True)):
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub, cfg)
         num_batches += 1
