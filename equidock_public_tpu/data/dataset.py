@@ -22,7 +22,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import Config
-from ..graph import PairBatch, collate
+from ..graph import PadCache, PairBatch, collate
 from .featurize import (ProteinGraph, alpha_carbon_array, build_protein_graph,
                         extract_pocket, filter_residues,
                         uniform_rotation_translation)
@@ -157,6 +157,7 @@ class DockingDataset:
             self.codes = self.codes[:n]
         self.swap = (split == "train" and cfg.data.swap_train) if swap is None else swap
         self.split = split
+        self._pad_cache = PadCache()
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -209,4 +210,5 @@ class DockingDataset:
             ligs, recs, new_xs, gts, pls, prs = zip(*items)
             yield collate(ligs, recs, new_xs, gts, pls, prs,
                           self.cfg.data.node_buckets,
-                          self.cfg.data.pocket_buckets, batch_size=bs)
+                          self.cfg.data.pocket_buckets, batch_size=bs,
+                          pad_cache=self._pad_cache)

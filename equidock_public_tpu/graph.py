@@ -59,6 +59,26 @@ def _pad_axis0(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     return np.pad(a, pad, constant_values=fill)
 
 
+class PadCache:
+    """Per-(graph-id, n_max) cache of the padded STATIC protein fields.
+
+    Augmentation only changes coordinates (`db5_data.py:195-204`); res_id,
+    mu_r_norm, neighbor tables and edge features are identical every epoch, so
+    their padded copies are built once per bucket and reused — this removes
+    most of the host-side collation cost per step."""
+
+    def __init__(self):
+        self._cache = {}
+
+    def get(self, g: ProteinGraph, n_max: int) -> dict:
+        key = (id(g), n_max)
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = pad_protein(g, n_max)
+            self._cache[key] = hit
+        return hit
+
+
 def pad_protein(g: ProteinGraph, n_max: int) -> dict:
     """Pad one ProteinGraph to n_max nodes. Padded nodes self-loop (masked)."""
     n = g.num_nodes
@@ -87,6 +107,7 @@ def collate(
     node_buckets: Tuple[int, ...],
     pocket_buckets: Tuple[int, ...],
     batch_size: Optional[int] = None,
+    pad_cache: Optional[PadCache] = None,
 ) -> PairBatch:
     """Collate complexes into one padded PairBatch (replaces
     `batchify_and_create_hetero_graphs`, `train_utils.py:87-100`).
@@ -108,7 +129,8 @@ def collate(
         for i in range(B):
             j = min(i, b_actual - 1)
             g = graphs[j]
-            d = pad_protein(g, n_max)
+            d = (pad_cache.get(g, n_max) if pad_cache is not None
+                 else pad_protein(g, n_max))
             if coords_override is not None:
                 d = dict(d)
                 d["x"] = _pad_axis0(
