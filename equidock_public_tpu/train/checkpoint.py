@@ -79,7 +79,21 @@ def load_checkpoint(path: str, template: Optional[TrainState] = None
         }
         payload = ckpt.restore(path, tmpl)
     else:
-        payload = ckpt.restore(path)
+        # Device-agnostic restore: the checkpoint may have been written on a
+        # different topology (e.g. saved on TPU, restored on CPU for
+        # inference); rebuild an abstract template with local shardings from
+        # the stored metadata instead of trusting the recorded devices.
+        from jax.sharding import SingleDeviceSharding
+
+        meta = ckpt.metadata(path)
+        tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+        dev = jax.local_devices()[0]
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(
+                m.shape, m.dtype, sharding=SingleDeviceSharding(dev)),
+            tree,
+            is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"))
+        payload = ckpt.restore(path, abstract)
     with open(path + ".config.json") as f:
         cfg = config_from_json(f.read())
     return payload, cfg, int(payload["epoch"])
