@@ -29,6 +29,9 @@ def main():
     p.add_argument("-output_dir", required=True)
     p.add_argument("-method_name", default="equidock_tpu")
     p.add_argument("-remove_clashes", action="store_true")
+    p.add_argument("-batched", action="store_true",
+                   help="run the whole set in padded batches on one chip")
+    p.add_argument("-batch_size", type=int, default=5)
     a = p.parse_args()
     cfg = config_from_args(a)
 
@@ -44,9 +47,17 @@ def main():
         params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
 
     method = a.method_name + ("_no_clashes" if a.remove_clashes else "")
-    run_inference_dir(params, cfg, a.input_dir, a.ground_truth_dir,
-                      a.output_dir, method_name=method,
-                      remove_clashes=a.remove_clashes)
+    if a.batched:
+        from ..eval.batch_inference import run_batched_inference
+
+        assert not a.remove_clashes, "clash removal is per-complex only"
+        run_batched_inference(params, cfg, a.input_dir, a.ground_truth_dir,
+                              a.output_dir, method_name=method,
+                              batch_size=a.batch_size)
+    else:
+        run_inference_dir(params, cfg, a.input_dir, a.ground_truth_dir,
+                          a.output_dir, method_name=method,
+                          remove_clashes=a.remove_clashes)
 
 
 if __name__ == "__main__":
