@@ -42,3 +42,22 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     restored2, m = train_step(restored, batch, jax.random.PRNGKey(2), cfg)
     assert np.isfinite(float(m["loss"]))
     assert int(restored2.step) == int(state.step) + 1
+
+
+def test_load_committed_artifact_checkpoint():
+    """The committed trained checkpoint restores WITHOUT a template (the
+    device-agnostic metadata path) and reports its config."""
+    import os
+    import pytest
+
+    from equidock_public_tpu.train.checkpoint import load_checkpoint
+
+    path = "artifacts/db5_model_best"
+    if not os.path.exists(path):
+        pytest.skip("artifact checkpoint not present")
+    payload, cfg2, epoch = load_checkpoint(path)
+    assert cfg2.model.iegmn_n_lays == 5
+    assert cfg2.model.shared_layers
+    assert epoch >= 0
+    n = sum(np.asarray(x).size for x in jax.tree.leaves(payload["params"]))
+    assert n > 100_000
