@@ -87,3 +87,29 @@ def test_align_receptor_roundtrip(tmp_path):
     R, b = rigid_transform_kabsch(rec.T, rec_gt.T)
     back = ((R @ rec.T) + b).T
     assert np.linalg.norm(back - rec_gt) < 1e-1
+
+
+def test_profiler_trace_produces_artifacts(tmp_path):
+    """jax.profiler trace context writes a trace directory (SURVEY §5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from equidock_public_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path)):
+        y = jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))
+        jax.block_until_ready(y)
+    entries = list(os.walk(str(tmp_path)))
+    files = [f for _, _, fs in entries for f in fs]
+    assert files, "no trace files written"
+
+
+def test_step_timer():
+    from equidock_public_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            pass
+    assert len(t.times) == 3
+    assert t.mean() >= 0.0
