@@ -30,18 +30,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref):
     q = q_ref[0]                       # (BN, D)
     k = k_ref[0]                       # (M, D)
     v = v_ref[0]                       # (M, Dv)
-    qm = qm_ref[0]                     # (BN,)
-    km = km_ref[0]                     # (M,)
+    qm = qm_ref[0]                     # (BN, 1)
+    km = km_ref[0]                     # (M, 1)
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)       # (BN, M)
-    mask = qm[:, None] * km[None, :]
+    mask = qm * km.T
     a = mask * s - 1000.0 * (1.0 - mask)
     m = jnp.max(a, axis=-1, keepdims=True)
     e = jnp.exp(a - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
     o_ref[0] = (jnp.dot(e, v, preferred_element_type=jnp.float32) / l
                 ).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref, do_ref,
@@ -56,16 +56,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref, do_ref,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    qm = qm_ref[0]
-    km = km_ref[0]
+    qm = qm_ref[0]                     # (BN, 1)
+    km = km_ref[0]                     # (M, 1)
     o = o_ref[0]
-    lse = lse_ref[0]
+    lse = lse_ref[0]                   # (BN, 1)
     do = do_ref[0]
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    mask = qm[:, None] * km[None, :]
+    mask = qm * km.T
     a = mask * s - 1000.0 * (1.0 - mask)
-    w = jnp.exp(a - lse[:, None])                                  # (BN, M)
+    w = jnp.exp(a - lse)                                           # (BN, M)
     dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     delta = jnp.sum(do * o, axis=-1, keepdims=True)                # rowsum(dw*w)
     ds = w * (dw - delta) * mask                                   # d logits * d a/d s
@@ -87,6 +87,8 @@ def _fwd_call(q, k, v, q_mask, k_mask, interpret):
     B, N, D = q.shape
     M, Dv = k.shape[1], v.shape[2]
     grid = (B, N // BLOCK_N)
+    # masks travel as (B, N, 1): Mosaic requires the last two block dims to be
+    # (8k, 128k) or full-size, which plain (B, N) blocks violate
     o, lse = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -94,19 +96,19 @@ def _fwd_call(q, k, v, q_mask, k_mask, interpret):
             pl.BlockSpec((1, BLOCK_N, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, M, Dv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda b, i: (b, i)),
-            pl.BlockSpec((1, M), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, M, 1), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda b, i: (b, i)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, Dv), q.dtype),
-            jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, q_mask, k_mask)
+    )(q, k, v, q_mask[..., None], k_mask[..., None])
     return o, lse
 
 
@@ -121,10 +123,10 @@ def _bwd_call(q, k, v, q_mask, k_mask, o, lse, do, interpret):
             pl.BlockSpec((1, BLOCK_N, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, M, Dv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda b, i: (b, i)),
-            pl.BlockSpec((1, M), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, M, 1), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda b, i: (b, i)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i: (b, i, 0)),
         ],
         out_specs=[
@@ -138,7 +140,7 @@ def _bwd_call(q, k, v, q_mask, k_mask, o, lse, do, interpret):
             jax.ShapeDtypeStruct((B, M, Dv), q.dtype),
         ],
         interpret=interpret,
-    )(q, k, v, q_mask, k_mask, o, lse, do)
+    )(q, k, v, q_mask[..., None], k_mask[..., None], o, lse, do)
     return dq, dk, dv
 
 

@@ -26,13 +26,13 @@ BLOCK_M = 256
 def _fwd_kernel(x_ref, a_ref, am_ref, s_ref, *, sigma):
     x = x_ref[0]                                   # (BM, 3)
     a = a_ref[0]                                   # (N, 3)
-    am = am_ref[0]                                 # (N,)
+    am = am_ref[0]                                 # (N, 1)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)    # (BM, 1)
     a2 = jnp.sum(a * a, axis=-1)[None, :]          # (1, N)
     cross = jnp.dot(x, a.T, preferred_element_type=jnp.float32)
     d2 = x2 + a2 - 2.0 * cross
-    w = jnp.exp(-d2 / sigma) * am[None, :]
-    s_ref[0] = jnp.sum(w, axis=-1)
+    w = jnp.exp(-d2 / sigma) * am.T
+    s_ref[0] = jnp.sum(w, axis=-1, keepdims=True)
 
 
 def _bwd_kernel(x_ref, a_ref, am_ref, c_ref, dx_ref, da_ref, *, sigma):
@@ -44,17 +44,17 @@ def _bwd_kernel(x_ref, a_ref, am_ref, c_ref, dx_ref, da_ref, *, sigma):
 
     x = x_ref[0]
     a = a_ref[0]
-    am = am_ref[0]
-    c = c_ref[0]                                   # (BM,) cotangent of S
+    am = am_ref[0]                                 # (N, 1)
+    c = c_ref[0]                                   # (BM, 1) cotangent of S
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     a2 = jnp.sum(a * a, axis=-1)[None, :]
     cross = jnp.dot(x, a.T, preferred_element_type=jnp.float32)
-    w = jnp.exp(-(x2 + a2 - 2.0 * cross) / sigma) * am[None, :]   # (BM, N)
-    s = jnp.sum(w, axis=-1)                                        # (BM,)
+    w = jnp.exp(-(x2 + a2 - 2.0 * cross) / sigma) * am.T          # (BM, N)
+    s = jnp.sum(w, axis=-1, keepdims=True)                         # (BM, 1)
     wa = jnp.dot(w, a, preferred_element_type=jnp.float32)         # (BM, 3)
     scale = -2.0 / sigma
-    dx_ref[0] = (scale * c[:, None] * (s[:, None] * x - wa)).astype(dx_ref.dtype)
-    cw = w * c[:, None]                                            # (BM, N)
+    dx_ref[0] = (scale * c * (s * x - wa)).astype(dx_ref.dtype)
+    cw = w * c                                                     # (BM, N)
     cwx = jnp.dot(cw.T, x, preferred_element_type=jnp.float32)     # (N, 3)
     cw_sum = jnp.sum(cw, axis=0)[:, None]                          # (N, 1)
     da_ref[0] += (-scale * (cwx - cw_sum * a)).astype(da_ref.dtype)
@@ -84,13 +84,13 @@ def _fwd(x, a, a_mask, sigma, interpret):
         in_specs=[
             pl.BlockSpec((1, BLOCK_M, 3), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, N), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, N, 1), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_M), lambda b, i: (b, i)),
-        out_shape=jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+        out_specs=pl.BlockSpec((1, BLOCK_M, 1), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, 1), jnp.float32),
         interpret=interpret,
-    )(xp, a, a_mask)
-    return s[:, :M], (xp, a, a_mask, M)
+    )(xp, a, a_mask[..., None])
+    return s[:, :M, 0], (xp, a, a_mask, M)
 
 
 def _vjp_fwd(x, a, a_mask, sigma, interpret):
@@ -102,7 +102,7 @@ def _vjp_bwd(sigma, interpret, res, g):
     xp, a, a_mask, M = res
     B, Mp, _ = xp.shape
     N = a.shape[1]
-    gp = _pad_m(g[:, :, None], Mp)[:, :, 0]
+    gp = _pad_m(g[:, :, None], Mp)
     grid = (B, Mp // BLOCK_M)
     dx, da = pl.pallas_call(
         functools.partial(_bwd_kernel, sigma=float(sigma)),
@@ -110,8 +110,8 @@ def _vjp_bwd(sigma, interpret, res, g):
         in_specs=[
             pl.BlockSpec((1, BLOCK_M, 3), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, N), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, BLOCK_M), lambda b, i: (b, i)),
+            pl.BlockSpec((1, N, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, BLOCK_M, 1), lambda b, i: (b, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_M, 3), lambda b, i: (b, i, 0)),
@@ -122,7 +122,7 @@ def _vjp_bwd(sigma, interpret, res, g):
             jax.ShapeDtypeStruct((B, N, 3), a.dtype),
         ],
         interpret=interpret,
-    )(xp, a, a_mask, gp)
+    )(xp, a, a_mask[..., None], gp)
     return dx[:, :M], da, jnp.zeros_like(a_mask)
 
 
