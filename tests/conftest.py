@@ -20,6 +20,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws from its own fixed stream, so adding
+    # or reordering tests can never shift another test's random data
     return np.random.default_rng(0)
