@@ -40,7 +40,16 @@ def main():
     N = int(os.environ.get("BENCH_N", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
 
+    import dataclasses
+
     cfg = Config.dips_paper_model()
+    if jax.default_backend() != "cpu":
+        # fused Pallas kernels: measured 2.1x faster attention bwd and 1.4x
+        # faster intersection bwd on v5e (bench_kernels.py)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, use_fused_attention=True),
+            train=dataclasses.replace(cfg.train, use_fused_intersection=True))
     rng = np.random.default_rng(0)
     batch = _tiny_batch(rng, B=B, N_l=N, N_r=N)
 
