@@ -99,6 +99,8 @@ class TrainConfig:
     train_rmsd_fraction: float = 0.1
     # Fused Pallas softmin-field kernel for the intersection loss.
     use_fused_intersection: bool = False
+    # Preemption-safe periodic checkpointing (0 = only on val improvement).
+    save_every_epochs: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -196,6 +196,11 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         tb.add_scalar("intersection_loss/" + tb_banner + "valid",
                       va["intersection_loss"], epoch)
 
+        # preemption-safe periodic save (TPU pods preempt; SURVEY §5)
+        if cfg.train.save_every_epochs and \
+                (epoch + 1) % cfg.train.save_every_epochs == 0:
+            save_checkpoint(ckpt_path + "_latest", state, cfg, epoch)
+
         # 0.98-improvement rule (train.py:372-377)
         if va["complex_rmsd_median"] < best_val * 0.98:
             best_val = va["complex_rmsd_median"]
