@@ -35,13 +35,20 @@ def main():
 
     state = None
     if a.continue_train_model:
-        from ..train.checkpoint import load_checkpoint
-        from ..train.step import TrainState
-
-        payload, cfg_ckpt, epoch = load_checkpoint(a.continue_train_model)
         import dataclasses
 
+        from ..models.iegmn import init_docking_model
+        from ..train.checkpoint import load_checkpoint
+        from ..train.step import TrainState, create_train_state
+
+        # read the sidecar config first, then restore against a structured
+        # template so the optax state keeps its named-tuple types (a
+        # template-less restore yields plain dicts)
+        _, cfg_ckpt, _ = load_checkpoint(a.continue_train_model)
         cfg = dataclasses.replace(cfg, model=cfg_ckpt.model)
+        tmpl = create_train_state(
+            init_docking_model(jax.random.PRNGKey(0), cfg.model), cfg)
+        payload, _, epoch = load_checkpoint(a.continue_train_model, tmpl)
         state = TrainState(payload["params"], payload["opt_state"],
                            payload["step"])
         print(f"Continuing from {a.continue_train_model} (epoch {epoch})")
