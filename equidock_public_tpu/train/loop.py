@@ -13,6 +13,7 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -103,6 +104,14 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
     _, _, crmsd_mean = meter.summarize("mean")
     avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
                num_clips=num_clips, num_batches=num_batches)
+
+    # param-norm watchdog (`train.py:167-169`): log parameters whose norm
+    # exploded past 500 (checked per epoch to stay off the hot path)
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    for path, leaf in flat:
+        norm = float(jnp.linalg.norm(jnp.asarray(leaf)))
+        if norm > 500.0:
+            log(f"    PARAM {jax.tree_util.keystr(path)} --> norm = {norm:.1f}")
     return state, avg
 
 

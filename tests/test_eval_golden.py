@@ -29,3 +29,17 @@ def test_reference_equidock_outputs_reproduce_paper(ds, crmsd_median,
     np.testing.assert_allclose(r["crmsd_median"], crmsd_median, atol=0.01)
     np.testing.assert_allclose(r["crmsd_mean"], crmsd_mean, atol=0.01)
     np.testing.assert_allclose(r["irmsd_median"], irmsd_median, atol=0.01)
+
+
+@pytest.mark.parametrize("method,crmsd_median,crmsd_mean", [
+    ("hdock", 0.30, 5.34),      # own receptor-file convention
+    ("attract", 9.55, 10.09),   # own receptor-file convention
+    ("cluspro", 3.38, 8.26),
+    ("patchdock", 18.26, 18.00),
+])
+def test_baseline_method_conventions(method, crmsd_median, crmsd_mean):
+    r = evaluate_output_dir(f"{BASE}/db5_{method}_results",
+                            f"{BASE}/db5_test_random_transformed/complexes",
+                            method)
+    np.testing.assert_allclose(r["crmsd_median"], crmsd_median, atol=0.01)
+    np.testing.assert_allclose(r["crmsd_mean"], crmsd_mean, atol=0.01)
