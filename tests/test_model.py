@@ -181,3 +181,36 @@ def test_graph_norm_matches_reference_semantics(rng):
         xx = x[b, :n]
         ref = (xx - xx.mean(0)) / (xx.std(0, ddof=1) + 1e-5)
         np.testing.assert_allclose(got[b, :n], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pad_cache_collation_identical(rng):
+    """collate with and without the PadCache must produce identical batches."""
+    from equidock_public_tpu.config import Config, DataConfig
+    from equidock_public_tpu.data.dataset import DockingDataset
+    import os
+    import pytest
+
+    cache = ("./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/"
+             "cv_0/val.npz")
+    if not os.path.exists(cache):
+        pytest.skip("DB5 val cache not built")
+    cfg = Config(data=DataConfig(node_buckets=(512, 1024, 2048, 3072),
+                                 pocket_buckets=(256,)))
+    ds = DockingDataset(cfg, "val", swap=False)
+    ds.samples = ds.samples[:4]
+
+    b_cached = next(ds.batches(np.random.default_rng(3), shuffle=False,
+                               batch_size=4))
+    ds._pad_cache.__init__()  # clear
+    from equidock_public_tpu.graph import collate
+    items = [ds.sample(i, np.random.default_rng((3, 0, i).__hash__() % (2**32)))
+             for i in range(4)]
+    # equality of static fields only (coords depend on rng stream)
+    b2 = next(ds.batches(np.random.default_rng(3), shuffle=False,
+                         batch_size=4))
+    for name in ("res_id", "mu_r_norm", "nbr", "nbr_mask", "edge_feat",
+                 "node_mask"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_cached.lig, name)),
+                                      np.asarray(getattr(b2.lig, name)))
+        np.testing.assert_array_equal(np.asarray(getattr(b_cached.rec, name)),
+                                      np.asarray(getattr(b2.rec, name)))
