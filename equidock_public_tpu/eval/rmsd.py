@@ -63,6 +63,10 @@ def evaluate_output_dir(
         meter.update(lig_model, rec_model, lig_gt, rec_gt)
         imeter.update(lig_model[ai], rec_model[aj], lig_gt[ai], rec_gt[aj])
 
+    if num_files == 0:
+        raise FileNotFoundError(
+            f"no '*_l_b_{suffix_method}.pdb' files found in {input_dir} — "
+            f"check the -method name (it must match the output suffix)")
     crmsd_median, _ = meter.summarize_with_std("median")
     crmsd_mean, crmsd_std = meter.summarize_with_std("mean")
     irmsd_median, _ = imeter.summarize_with_std("median")
