@@ -124,3 +124,21 @@ def test_residue_type_indices():
     assert residue_type_index("TYR") == 0
     assert residue_type_index("HIE") == 9   # rare residue -> H
     assert residue_type_index("XXX") == 20  # unknown
+
+
+def test_pdb_parser_tolerates_malformed_lines(tmp_path):
+    """Short lines, missing element column, junk residue numbers."""
+    p = tmp_path / "junk.pdb"
+    p.write_text(
+        "ATOM      1  N   ALA A   1      11.104   6.134  -6.504\n"   # no elem
+        "ATOM      2  CA  ALA A   1      12.000   7.000  -6.000  1.00  0.00           C\n"
+        "ATOM      3  C   ALA A  xx      13.000   8.000  -5.000  1.00  0.00           C\n"
+        "HETATM    4  O   HOH A   2       0.000   0.000   0.000\n"    # skipped
+        "REMARK whatever\n")
+    from equidock_public_tpu.data.pdb import read_pdb
+
+    t = read_pdb(str(p))
+    assert len(t) == 3
+    assert t.residue[2] == 0            # unparseable resSeq -> 0
+    assert t.element[0] == ""           # missing element column
+    assert t.coords.shape == (3, 3)
