@@ -123,3 +123,33 @@ def test_fused_intersection_loss(rng):
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_train_step_with_fused_kernels(rng):
+    """Full train_step with BOTH fused kernels enabled (interpret mode):
+    finite loss/grads, matches the XLA-path loss closely."""
+    import dataclasses
+
+    from equidock_public_tpu.models.iegmn import init_docking_model
+    from equidock_public_tpu.train.step import create_train_state, train_step
+
+    from .utils import synth_batch, tiny_config
+
+    cfg = tiny_config()
+    cfg_fused = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, use_fused_attention=True),
+        train=dataclasses.replace(cfg.train, use_fused_intersection=True))
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2)
+    key = jax.random.PRNGKey(1)
+
+    s1 = create_train_state(params, cfg)
+    s1, m1 = train_step(s1, batch, key, cfg)
+    s2 = create_train_state(params, cfg_fused)
+    s2, m2 = train_step(s2, batch, key, cfg_fused)
+
+    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-3)
+    np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]),
+                               rtol=1e-2)
