@@ -27,6 +27,13 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-skip_weight_h", type=float, default=0.5)
     p.add_argument("-x_connection_init", type=float, default=0.0)
     p.add_argument("-fine_tune", action="store_true")
+    p.add_argument("-use_fused_attention", action="store_true",
+                   help="fused Pallas cross-attention kernel")
+    p.add_argument("-use_fused_intersection", action="store_true",
+                   help="fused Pallas softmin-field intersection kernel")
+    p.add_argument("-remat", action="store_true")
+    p.add_argument("-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     # train (args.py:32-70)
     p.add_argument("-lr", type=float, default=2e-4)
     p.add_argument("-w_decay", type=float, default=1e-4)
@@ -74,7 +81,9 @@ def config_from_args(a: argparse.Namespace) -> Config:
             layer_norm=a.layer_norm, layer_norm_coors=a.layer_norm_coors,
             final_h_layer_norm=a.final_h_layer_norm,
             skip_weight_h=a.skip_weight_h,
-            x_connection_init=a.x_connection_init, fine_tune=a.fine_tune),
+            x_connection_init=a.x_connection_init, fine_tune=a.fine_tune,
+            use_fused_attention=a.use_fused_attention, remat=a.remat,
+            dtype=a.dtype),
         graph=GraphConfig(
             graph_cutoff=a.graph_cutoff,
             graph_max_neighbor=a.graph_max_neighbor,
@@ -87,7 +96,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             intersection_loss_weight=a.intersection_loss_weight,
             intersection_sigma=a.intersection_sigma,
             intersection_surface_ct=a.intersection_surface_ct,
-            random_seed=a.random_seed),
+            random_seed=a.random_seed,
+            use_fused_intersection=a.use_fused_intersection),
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,

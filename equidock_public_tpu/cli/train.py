@@ -45,7 +45,12 @@ def main():
         # template so the optax state keeps its named-tuple types (a
         # template-less restore yields plain dicts)
         _, cfg_ckpt, _ = load_checkpoint(a.continue_train_model)
-        cfg = dataclasses.replace(cfg, model=cfg_ckpt.model)
+        # adopt the checkpoint's architecture, keep CLI kernel/numerics flags
+        model_cfg = dataclasses.replace(
+            cfg_ckpt.model,
+            use_fused_attention=cfg.model.use_fused_attention,
+            remat=cfg.model.remat, dtype=cfg.model.dtype)
+        cfg = dataclasses.replace(cfg, model=model_cfg)
         tmpl = create_train_state(
             init_docking_model(jax.random.PRNGKey(0), cfg.model), cfg)
         payload, _, epoch = load_checkpoint(a.continue_train_model, tmpl)
