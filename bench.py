@@ -43,9 +43,11 @@ def main():
     import dataclasses
 
     cfg = Config.dips_paper_model()
-    if jax.default_backend() != "cpu":
-        # fused Pallas kernels: measured 2.1x faster attention bwd and 1.4x
-        # faster intersection bwd on v5e (bench_kernels.py)
+    N = int(os.environ.get("BENCH_N", "256"))
+    if jax.default_backend() != "cpu" and N >= 1024:
+        # fused Pallas kernels win at large node counts (2.1x attention bwd at
+        # N=2048, bench_kernels.py); below ~512 the XLA path is faster
+        # (536 vs 554 pairs/s measured at N=256) — pick per size.
         cfg = dataclasses.replace(
             cfg,
             model=dataclasses.replace(cfg.model, use_fused_attention=True),
