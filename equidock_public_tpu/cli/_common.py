@@ -47,6 +47,7 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-intersection_sigma", type=float, default=25.0)
     p.add_argument("-intersection_surface_ct", type=float, default=10.0)
     p.add_argument("-random_seed", type=int, default=8)
+    p.add_argument("-val_repeats", type=int, default=1)
     # graph (args.py:44-55)
     p.add_argument("-graph_cutoff", type=float, default=30.0)
     p.add_argument("-graph_max_neighbor", type=int, default=10)
@@ -97,7 +98,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             intersection_sigma=a.intersection_sigma,
             intersection_surface_ct=a.intersection_surface_ct,
             random_seed=a.random_seed,
-            use_fused_intersection=a.use_fused_intersection),
+            use_fused_intersection=a.use_fused_intersection,
+            val_repeats=a.val_repeats),
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,

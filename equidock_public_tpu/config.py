@@ -101,6 +101,10 @@ class TrainConfig:
     use_fused_intersection: bool = False
     # Preemption-safe periodic checkpointing (0 = only on val improvement).
     save_every_epochs: int = 0
+    # Validation repeats per epoch: the val metric depends on the random
+    # SE(3) pose drawn per complex (db5_data.py:195-204); averaging several
+    # draws denoises model selection on small val sets.
+    val_repeats: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -181,7 +181,9 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         t0 = time.time()
         state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log)
         key = jax.random.fold_in(key, epoch + 1)
-        va = run_eval_epoch(state.params, val_ds, cfg, rng)
+        reps = [run_eval_epoch(state.params, val_ds, cfg, rng)
+                for _ in range(max(cfg.train.val_repeats, 1))]
+        va = {k: float(np.mean([r[k] for r in reps])) for k in reps[0]}
         log(f"[TRAIN] epoch {epoch} loss {tr['loss']:.4f} "
             f"lig {tr['ligand_coors_loss']:.4f} ot {tr['ot_loss']:.4f} "
             f"int {tr['intersection_loss']:.4f} "
