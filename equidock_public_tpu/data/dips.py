@@ -14,7 +14,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..config import Config
-from .dataset import ComplexSample, _graph_from_npz, _graph_to_npz, _process_one
+from .dataset import ComplexSample, _graph_from_npz, _graph_to_npz
 from .featurize import (alpha_carbon_array, build_protein_graph,
                         extract_pocket, filter_residues)
 from .pdb import GroupedResidue

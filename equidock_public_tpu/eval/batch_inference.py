@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import List, Optional
 
 import jax
 import numpy as np

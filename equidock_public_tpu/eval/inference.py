@@ -12,16 +12,16 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, bucket_for
+from ..config import Config
 from ..data.featurize import (alpha_carbon_array, build_protein_graph,
                               filter_residues)
-from ..data.pdb import AtomTable, ca_coords, group_residues, read_pdb, write_pdb
+from ..data.pdb import group_residues, read_pdb, write_pdb
 from ..graph import collate
 from ..models.iegmn import docking_forward
 from ..ops.intersection import body_intersection_loss

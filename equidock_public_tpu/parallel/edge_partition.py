@@ -18,16 +18,12 @@ local aggregation) drops into.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..graph import PairBatch, ProteinBatch
-from ..models.iegmn import iegmn_layer_forward
+from ..graph import ProteinBatch
 from ..models.layers import Params
 
 AXIS = "graph"

@@ -12,9 +12,6 @@ SURVEY §2.2).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
-
 import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -23,7 +20,7 @@ from ..config import Config
 from ..graph import PairBatch
 from ..train.step import TrainState, loss_fn
 from ..train.optim import make_optimizer
-from .mesh import batch_pspec, replicate, shard_batch
+from .mesh import batch_pspec
 
 
 def make_parallel_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
