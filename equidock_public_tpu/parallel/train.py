@@ -45,6 +45,7 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False)
         step,
         in_shardings=(repl, batch_shardings, repl),
         out_shardings=(repl, repl),
+        donate_argnums=(0,),   # update params/opt state in place
     )
 
 

@@ -39,7 +39,7 @@ def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool):
     return loss, (metrics, out)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_step(
     state: TrainState, batch: PairBatch, rng, cfg: Config
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:

@@ -144,9 +144,11 @@ def test_train_step_with_fused_kernels(rng):
     batch = synth_batch(rng, B=2)
     key = jax.random.PRNGKey(1)
 
+    # build both states before stepping: train_step donates its state
+    # (and s1.params aliases `params`)
     s1 = create_train_state(params, cfg)
+    s2 = create_train_state(jax.tree.map(jnp.copy, params), cfg_fused)
     s1, m1 = train_step(s1, batch, key, cfg)
-    s2 = create_train_state(params, cfg_fused)
     s2, m2 = train_step(s2, batch, key, cfg_fused)
 
     assert np.isfinite(float(m2["loss"]))

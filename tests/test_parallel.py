@@ -3,6 +3,7 @@
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -31,7 +32,8 @@ def test_data_parallel_matches_single_device(rng):
     cfg, state, batch = _setup(rng)
     key = jax.random.PRNGKey(1)
 
-    state1, m1 = train_step(state, batch, key, cfg)
+    # train_step donates its state: give it a copy, keep `state` for the mesh
+    state1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key, cfg)
 
     mesh = make_mesh(dp=8, gp=1)
     with mesh:
@@ -55,7 +57,8 @@ def test_graph_parallel_matches_single_device(rng):
     cfg, state, batch = _setup(rng, B=4, N_l=16, N_r=16)
     key = jax.random.PRNGKey(2)
 
-    state1, m1 = train_step(state, batch, key, cfg)
+    # train_step donates its state: give it a copy, keep `state` for the mesh
+    state1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key, cfg)
 
     mesh = make_mesh(dp=4, gp=2)
     with mesh:
