@@ -27,6 +27,15 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-skip_weight_h", type=float, default=0.5)
     p.add_argument("-x_connection_init", type=float, default=0.0)
     p.add_argument("-fine_tune", action="store_true")
+    # feature gates (args.py:88-104; the paper models set all three to True,
+    # hyper-search block args.py:272-275). 1/0 toggles since our defaults are
+    # the paper values, not argparse's store_true False.
+    p.add_argument("-use_dist_in_layers", type=int, choices=[0, 1], default=1)
+    p.add_argument("-use_edge_features_in_gmn", type=int, choices=[0, 1],
+                   default=1)
+    p.add_argument("-use_mean_node_features", type=int, choices=[0, 1],
+                   default=1)
+    p.add_argument("-divide_coors_dist", type=int, choices=[0, 1], default=0)
     p.add_argument("-use_fused_attention", action="store_true",
                    help="fused Pallas cross-attention kernel")
     p.add_argument("-use_fused_intersection", action="store_true",
@@ -42,6 +51,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-clip", type=float, default=100.0)
     p.add_argument("-bs", type=int, default=10)
     p.add_argument("-warmup", type=float, default=1.0)
+    p.add_argument("-scheduler", default="warmup",
+                   choices=["warmup", "cyclic", "ROP"])
+    p.add_argument("-save_every_epochs", type=int, default=0,
+                   help="preemption-safe periodic checkpoint interval "
+                        "(0 = only on val improvement)")
     p.add_argument("-pocket_ot_loss_weight", type=float, default=1.0)
     p.add_argument("-intersection_loss_weight", type=float, default=10.0)
     p.add_argument("-intersection_sigma", type=float, default=25.0)
@@ -83,6 +97,10 @@ def config_from_args(a: argparse.Namespace) -> Config:
             final_h_layer_norm=a.final_h_layer_norm,
             skip_weight_h=a.skip_weight_h,
             x_connection_init=a.x_connection_init, fine_tune=a.fine_tune,
+            use_dist_in_layers=bool(a.use_dist_in_layers),
+            use_edge_features_in_gmn=bool(a.use_edge_features_in_gmn),
+            use_mean_node_features=bool(a.use_mean_node_features),
+            divide_coors_dist=bool(a.divide_coors_dist),
             use_fused_attention=a.use_fused_attention, remat=a.remat,
             dtype=a.dtype),
         graph=GraphConfig(
@@ -97,7 +115,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             intersection_loss_weight=a.intersection_loss_weight,
             intersection_sigma=a.intersection_sigma,
             intersection_surface_ct=a.intersection_surface_ct,
-            random_seed=a.random_seed,
+            random_seed=a.random_seed, scheduler=a.scheduler,
+            save_every_epochs=a.save_every_epochs,
             use_fused_intersection=a.use_fused_intersection,
             val_repeats=a.val_repeats),
         data=DataConfig(

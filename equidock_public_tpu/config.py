@@ -39,6 +39,9 @@ class ModelConfig:
     skip_weight_h: float = 0.5
     x_connection_init: float = 0.0
     fine_tune: bool = False
+    # Accepted but unused, matching the reference: `-divide_coors_dist` is
+    # parsed and printed (`args.py:88`, `inference_rigid.py:115`) but never
+    # read by the model.
     divide_coors_dist: bool = False
     # Graph featurization constants (fixed by the reference pipeline).
     num_residue_types: int = 21      # 20 canonical + 1 unknown
