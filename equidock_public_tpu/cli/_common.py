@@ -38,6 +38,9 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-divide_coors_dist", type=int, choices=[0, 1], default=0)
     p.add_argument("-use_fused_attention", action="store_true",
                    help="fused Pallas cross-attention kernel")
+    p.add_argument("-factored_edge_mlp", action="store_true",
+                   help="decomposed edge-MLP matmuls (same params, fewer "
+                        "per-edge MACs)")
     p.add_argument("-use_fused_intersection", action="store_true",
                    help="fused Pallas softmin-field intersection kernel")
     p.add_argument("-remat", action="store_true")
@@ -101,7 +104,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             use_edge_features_in_gmn=bool(a.use_edge_features_in_gmn),
             use_mean_node_features=bool(a.use_mean_node_features),
             divide_coors_dist=bool(a.divide_coors_dist),
-            use_fused_attention=a.use_fused_attention, remat=a.remat,
+            use_fused_attention=a.use_fused_attention,
+            factored_edge_mlp=a.factored_edge_mlp, remat=a.remat,
             dtype=a.dtype),
         graph=GraphConfig(
             graph_cutoff=a.graph_cutoff,

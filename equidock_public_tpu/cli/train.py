@@ -49,6 +49,7 @@ def main():
         model_cfg = dataclasses.replace(
             cfg_ckpt.model,
             use_fused_attention=cfg.model.use_fused_attention,
+            factored_edge_mlp=cfg.model.factored_edge_mlp,
             remat=cfg.model.remat, dtype=cfg.model.dtype)
         cfg = dataclasses.replace(cfg, model=model_cfg)
         tmpl = create_train_state(

@@ -52,6 +52,10 @@ class ModelConfig:
     param_dtype: str = "float32"
     # Kernels: use the fused Pallas cross-attention (interpret-mode on CPU).
     use_fused_attention: bool = False
+    # Decompose the edge-MLP concat into per-term matmuls (gather the h@W
+    # products per node instead of h per edge; ~3x fewer edge MACs at K=10).
+    # Numerically identical params; differs only in summation order.
+    factored_edge_mlp: bool = False
     # Rematerialize each IEGMN layer in the backward pass (trade FLOPs for
     # HBM; lets deep configs / big buckets fit).
     remat: bool = False

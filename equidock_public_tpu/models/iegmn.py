@@ -144,6 +144,39 @@ def _rbf_of_sq_dist(x_rel: jnp.ndarray, enabled: bool) -> jnp.ndarray:
     return out
 
 
+def _edge_mlp_factored(p: Params, side: ProteinBatch, h, he, rbf,
+                       cfg: ModelConfig, rng, train) -> jnp.ndarray:
+    """Edge MLP with `lin1(concat([h_src, h_dst, he, rbf]))` decomposed into
+    per-term matmuls: `concat @ W == h_src @ W_a + h_dst @ W_b + he @ W_c +
+    rbf @ W_d`. The `h @ W` products are computed once per NODE ((B,N,D)
+    matmuls) and only the D-dim results are gathered/broadcast over K — the
+    (B,N,K,2D+42) concat input and the (B,N,K,D) h_src/h_dst gathers never
+    materialize, cutting per-edge MACs ~3x (at K=10, D=64) and the HBM
+    intermediates of the XLA concat path. Bitwise it differs from the concat
+    form only in summation order. Same params; checkpoints interchangeable."""
+    W = p["lin1"]["w"]
+    D = h.shape[-1]
+    E = he.shape[-1]
+
+    def mm(x, w):
+        if cfg.dtype != "float32":
+            dt = jnp.dtype(cfg.dtype)
+            x, w = x.astype(dt), w.astype(dt)
+        return jnp.einsum("...i,io->...o", x, w,
+                          preferred_element_type=jnp.float32).astype(jnp.float32)
+
+    pre = (gather_neighbors(mm(h, W[:D]), side.nbr)
+           + mm(h, W[D:2 * D])[:, :, None, :]
+           + mm(he, W[2 * D:2 * D + E])
+           + mm(rbf, W[2 * D + E:])
+           + p["lin1"]["b"])
+    z = dropout(pre, cfg.dropout, rng, train)
+    z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
+    if cfg.layer_norm == "LN":
+        z = layer_norm(p["ln"], z)
+    return linear(p["lin2"], z, cfg.dtype)
+
+
 def iegmn_layer_forward(
     p: Params,
     cfg: ModelConfig,
@@ -175,10 +208,14 @@ def iegmn_layer_forward(
         x_src = gather_neighbors(x, side.nbr)                  # (B,N,K,3)
         x_rel = x_src - x[:, :, None, :]                       # src - dst
         rbf = _rbf_of_sq_dist(x_rel, cfg.use_dist_in_layers)
-        h_src = gather_neighbors(h, side.nbr)                  # (B,N,K,D)
-        h_dst = jnp.broadcast_to(h[:, :, None, :], h_src.shape)
-        msg_in = jnp.concatenate([h_src, h_dst, he, rbf], axis=-1)
-        msg = _mlp2(p["edge_mlp"], msg_in, cfg, cfg.layer_norm, rng_, train)
+        if cfg.factored_edge_mlp:
+            msg = _edge_mlp_factored(p["edge_mlp"], side, h, he, rbf, cfg,
+                                     rng_, train)
+        else:
+            h_src = gather_neighbors(h, side.nbr)              # (B,N,K,D)
+            h_dst = jnp.broadcast_to(h[:, :, None, :], h_src.shape)
+            msg_in = jnp.concatenate([h_src, h_dst, he, rbf], axis=-1)
+            msg = _mlp2(p["edge_mlp"], msg_in, cfg, cfg.layer_norm, rng_, train)
         return x_rel, msg
 
     x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0])

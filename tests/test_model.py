@@ -214,3 +214,51 @@ def test_pad_cache_collation_identical(rng):
                                       np.asarray(getattr(b2.lig, name)))
         np.testing.assert_array_equal(np.asarray(getattr(b_cached.rec, name)),
                                       np.asarray(getattr(b2.rec, name)))
+
+
+def test_factored_edge_mlp_matches_concat_path(rng):
+    """The decomposed edge-MLP (per-term matmuls, no concat) is the same
+    function as the concat form up to float reassociation — forward outputs
+    AND gradients must agree on identical params."""
+    import dataclasses
+
+    from equidock_public_tpu.train.losses import total_loss
+
+    cfg = tiny_config()
+    cfg_fac = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, factored_edge_mlp=True))
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2, coord_scale=400.0)
+
+    def run(mcfg):
+        return jax.jit(lambda p, b: docking_forward(p, mcfg, b))(params, batch)
+
+    # reassociation differences pass through 2 layers + the SVD head, so the
+    # comparison is loose-ish (coords are at scale ~400 here)
+    out_a, out_b = run(cfg.model), run(cfg_fac.model)
+    mask = np.asarray(batch.lig.node_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out_a["ligand_coords"]) * mask,
+        np.asarray(out_b["ligand_coords"]) * mask, rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_a["R"]), np.asarray(out_b["R"]),
+                               rtol=1e-3, atol=1e-3)
+
+    def loss(p, mcfg):
+        out = docking_forward(p, mcfg, batch)
+        l, _ = total_loss(out, batch, cfg.train)
+        return l
+
+    g_a = jax.jit(jax.grad(loss), static_argnums=1)(params, cfg.model)
+    g_b = jax.jit(jax.grad(loss), static_argnums=1)(params, cfg_fac.model)
+    # gradient direction must agree leaf-wise (cosine > 0.999) and the global
+    # norms must match to 1% — element-wise tolerances are meaningless for
+    # near-zero entries under reassociation
+    import optax
+
+    na, nb = float(optax.global_norm(g_a)), float(optax.global_norm(g_b))
+    assert abs(na - nb) / na < 1e-2, (na, nb)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom > 1e-8:
+            assert np.dot(a, b) / denom > 0.999
