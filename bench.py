@@ -52,6 +52,15 @@ def main():
             cfg,
             model=dataclasses.replace(cfg.model, use_fused_attention=True),
             train=dataclasses.replace(cfg.train, use_fused_intersection=True))
+    # A/B knobs (PERF.md): BENCH_FACTORED=1 -> decomposed edge MLP,
+    # BENCH_DTYPE=bfloat16 -> bf16 matmuls w/ f32 accumulation
+    if os.environ.get("BENCH_FACTORED"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, factored_edge_mlp=True))
+    if os.environ.get("BENCH_DTYPE"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           dtype=os.environ["BENCH_DTYPE"]))
     rng = np.random.default_rng(0)
     batch = _tiny_batch(rng, B=B, N_l=N, N_r=N)
 
