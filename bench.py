@@ -54,7 +54,7 @@ def main():
             train=dataclasses.replace(cfg.train, use_fused_intersection=True))
     # A/B knobs (PERF.md): BENCH_FACTORED=1 -> decomposed edge MLP,
     # BENCH_DTYPE=bfloat16 -> bf16 matmuls w/ f32 accumulation
-    if os.environ.get("BENCH_FACTORED"):
+    if os.environ.get("BENCH_FACTORED", "0") not in ("", "0"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, factored_edge_mlp=True))
     if os.environ.get("BENCH_DTYPE"):

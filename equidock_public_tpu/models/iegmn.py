@@ -50,13 +50,19 @@ def _init_mlp2(rng, in_dim, hid_dim, out_dim, use_ln: bool) -> Params:
     return p
 
 
-def _mlp2(p: Params, x, cfg: ModelConfig, ln_kind: str, rng, train) -> jnp.ndarray:
-    h = linear(p["lin1"], x, cfg.dtype)
-    h = dropout(h, cfg.dropout, rng, train)
+def _mlp2_tail(p: Params, pre, cfg: ModelConfig, ln_kind: str, rng, train):
+    """Everything after lin1: Dropout -> nonlin -> (LN) -> lin2. Shared by the
+    concat and factored edge-MLP paths so they stay the same function."""
+    h = dropout(pre, cfg.dropout, rng, train)
     h = nonlin(h, cfg.nonlin, cfg.leakyrelu_neg_slope)
     if ln_kind == "LN":
         h = layer_norm(p["ln"], h)
     return linear(p["lin2"], h, cfg.dtype)
+
+
+def _mlp2(p: Params, x, cfg: ModelConfig, ln_kind: str, rng, train) -> jnp.ndarray:
+    return _mlp2_tail(p, linear(p["lin1"], x, cfg.dtype), cfg, ln_kind, rng,
+                      train)
 
 
 def init_iegmn_layer(rng, cfg: ModelConfig, orig_dim: int, h_dim: int,
@@ -170,11 +176,7 @@ def _edge_mlp_factored(p: Params, side: ProteinBatch, h, he, rbf,
            + mm(he, W[2 * D:2 * D + E])
            + mm(rbf, W[2 * D + E:])
            + p["lin1"]["b"])
-    z = dropout(pre, cfg.dropout, rng, train)
-    z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
-    if cfg.layer_norm == "LN":
-        z = layer_norm(p["ln"], z)
-    return linear(p["lin2"], z, cfg.dtype)
+    return _mlp2_tail(p, pre, cfg, cfg.layer_norm, rng, train)
 
 
 def iegmn_layer_forward(

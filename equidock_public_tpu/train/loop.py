@@ -20,6 +20,7 @@ from ..config import Config
 from ..data.dataset import DockingDataset
 from .checkpoint import load_checkpoint, save_checkpoint
 from .meter import RmsdMeter
+from .optim import ReduceOnPlateau, epoch_lr_factor
 from .step import TrainState, create_train_state, eval_step, train_step
 
 
@@ -81,17 +82,18 @@ def make_logger(cfg: Config) -> Callable:
 
 def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
                     rng: np.random.Generator, key, epoch: int,
-                    log=print) -> tuple:
+                    log=print, lr_scale: float = 1.0) -> tuple:
     """One training epoch (`run_a_generic_epoch('train')`, train.py:54-212).
     Returns (state, metrics dict). Train RMSD is metered on ~10% of batches
-    (train.py:136)."""
+    (train.py:136). `lr_scale` is the per-epoch scheduler factor."""
     meter = RmsdMeter()
     sums: Dict[str, float] = {}
     num_batches = 0
     num_clips = 0
+    scale = jnp.asarray(lr_scale, jnp.float32)
     for batch in prefetch_to_device(ds.batches(rng, shuffle=True)):
         key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub, cfg)
+        state, metrics = train_step(state, batch, sub, cfg, scale)
         num_batches += 1
         for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
             sums[k] = sums.get(k, 0.0) + float(metrics[k])
@@ -174,16 +176,27 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     tb = make_tb_logger(cfg)
     tb_banner = cfg.data.data + "_"
 
+    # epoch-stepped schedulers (`train.py:364-369`): cyclic triangle factor /
+    # ReduceLROnPlateau on the val loss
+    plateau = (ReduceOnPlateau(factor=0.5, patience=100)
+               if cfg.train.scheduler == "ROP" else None)
+
     for epoch in range(epochs):
         if max_seconds is not None and time.time() - t_start > max_seconds:
             log(f"Wall-clock budget ({max_seconds}s) reached at epoch {epoch}.")
             break
         t0 = time.time()
-        state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log)
+        lr_scale = epoch_lr_factor(cfg.train, epoch, plateau)
+        state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log,
+                                    lr_scale=lr_scale)
         key = jax.random.fold_in(key, epoch + 1)
         reps = [run_eval_epoch(state.params, val_ds, cfg, rng)
                 for _ in range(max(cfg.train.val_repeats, 1))]
         va = {k: float(np.mean([r[k] for r in reps])) for k in reps[0]}
+        if plateau is not None:
+            new_scale = plateau.step(va["loss"])
+            if new_scale != lr_scale:
+                log(f"  ReduceLROnPlateau: lr factor -> {new_scale}")
         log(f"[TRAIN] epoch {epoch} loss {tr['loss']:.4f} "
             f"lig {tr['ligand_coors_loss']:.4f} ot {tr['ot_loss']:.4f} "
             f"int {tr['intersection_loss']:.4f} "

@@ -3,12 +3,29 @@
 Matches the reference: Adam with L2 weight decay folded into the gradient
 (torch Adam `weight_decay`, `train.py:302`) — i.e. `add_decayed_weights`
 BEFORE the Adam moments, not decoupled AdamW — plus grad clipping at global
-norm `clip` (`train.py:156`) and the cubic warmup LambdaLR
-(`train_utils.py:134-136`: lr * min(1, ((step+1)/warmup)^3); warmup=1 by
-default => constant).
+norm `clip` (`train.py:156`).
+
+Schedulers (`get_scheduler`, `train_utils.py:128-145`) are stepped per EPOCH
+in the reference (`train.py:364-369`), so 'cyclic' and 'ROP' are driven here
+by an epoch-level LR *factor* the training loop computes and passes into the
+jitted step (`lr_scale`), keeping the optax chain static:
+
+  * 'warmup' — cubic ramp lr * min(1, ((t+1)/warmup)^3)
+    (`train_utils.py:134-136`); warmup=1 by default => constant. Applied
+    per optimizer step (smoother than the reference's per-epoch LambdaLR;
+    identical at the default warmup=1 the paper models use).
+  * 'cyclic' — torch CyclicLR(base_lr=lr, max_lr=10*lr,
+    step_size_up=warmup) stepped per epoch (`train_utils.py:131-134`):
+    `cyclic_epoch_factor` returns the triangular factor in [1, 10].
+  * 'ROP' — torch ReduceLROnPlateau(mode=min, factor=0.5, patience=100,
+    rel threshold, min_lr=1e-12) stepped per epoch on the val loss
+    (`train_utils.py:136-144`, `train.py:366-367`): `ReduceOnPlateau`
+    mirrors that state machine on the host.
 """
 
 from __future__ import annotations
+
+import math
 
 import optax
 
@@ -24,37 +41,61 @@ def warmup_schedule(base_lr: float, warmup: float):
     return schedule
 
 
-def cyclic_schedule(base_lr: float, step_size_up: float):
-    """Triangular cyclic LR between base_lr and 10x base_lr
-    (`train_utils.py:129-132`: CyclicLR(base, max=10*base))."""
-    import jax.numpy as jnp
+def cyclic_epoch_factor(epoch: int, step_size_up: float) -> float:
+    """Triangular factor in [1, 10] with half-period `step_size_up` epochs
+    (CyclicLR base->max ramp, `train_utils.py:131-134`)."""
+    s = max(step_size_up, 1.0)
+    cycle = math.floor(1.0 + epoch / (2.0 * s))
+    x = abs(epoch / s - 2.0 * cycle + 1.0)
+    return 1.0 + 9.0 * max(0.0, 1.0 - x)
 
-    def schedule(step):
-        cycle = jnp.floor(1.0 + step / (2.0 * step_size_up))
-        x = jnp.abs(step / step_size_up - 2.0 * cycle + 1.0)
-        return base_lr + (10.0 * base_lr - base_lr) * jnp.maximum(0.0, 1.0 - x)
 
-    return schedule
+class ReduceOnPlateau:
+    """Epoch-driven ReduceLROnPlateau (mode=min, rel threshold), the
+    reference's 'ROP' (`train_utils.py:136-144`). `step(val_loss)` returns
+    the cumulative LR factor to apply next epoch."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 100,
+                 threshold: float = 1e-4, min_scale: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def step(self, value: float) -> float:
+        if value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.num_bad = 0
+        return self.scale
+
+
+def epoch_lr_factor(tc: TrainConfig, epoch: int,
+                    plateau: "ReduceOnPlateau | None") -> float:
+    """The LR factor the loop passes to the train step for this epoch."""
+    if tc.scheduler == "cyclic":
+        return cyclic_epoch_factor(epoch, tc.warmup)
+    if tc.scheduler == "ROP" and plateau is not None:
+        return plateau.scale
+    return 1.0
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     if tc.scheduler == "cyclic":
-        sched = cyclic_schedule(tc.lr, max(tc.warmup, 1.0))
+        # constant base lr; the triangular epoch factor arrives via lr_scale
+        sched = tc.lr
     else:
-        # 'warmup' (default) and 'ROP': base schedule is the cubic warmup;
-        # ROP's plateau factor is applied on top by the training loop via
-        # `scale_by_plateau` below.
         sched = warmup_schedule(tc.lr, tc.warmup)
-    chain = [
+    return optax.chain(
         optax.clip_by_global_norm(tc.clip),
         optax.add_decayed_weights(tc.w_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(sched),
-    ]
-    if tc.scheduler == "ROP":
-        # ReduceLROnPlateau(factor=0.5, patience=100, min_lr~0)
-        # (`train_utils.py:133-143`); driven by the loop passing the val loss
-        # through extra_args.
-        chain.append(optax.contrib.reduce_on_plateau(
-            factor=0.5, patience=100, rtol=1e-8, atol=0.0))
-    return optax.chain(*chain)
+    )

@@ -41,17 +41,19 @@ def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_step(
-    state: TrainState, batch: PairBatch, rng, cfg: Config
+    state: TrainState, batch: PairBatch, rng, cfg: Config,
+    lr_scale: jnp.ndarray | float = 1.0,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step. `lr_scale` is the epoch-level scheduler factor
+    (cyclic triangle / ReduceLROnPlateau, stepped per epoch by the loop as in
+    the reference, `train.py:364-369`); pass it as a jnp scalar so factor
+    changes don't recompile."""
     opt = make_optimizer(cfg.train)
     (loss, (metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, rng, True)
     gnorm = optax.global_norm(grads)
-    if cfg.train.scheduler == "ROP":
-        updates, opt_state = opt.update(grads, state.opt_state, state.params,
-                                        value=loss)
-    else:
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: u * lr_scale, updates)
     params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)
     metrics["grad_norm"] = gnorm

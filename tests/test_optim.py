@@ -56,3 +56,73 @@ def test_warmup_schedule_matches_reference_lambda():
     for step in [0, 3, 9, 10, 50]:
         expect = 2e-4 * min(1.0, ((step + 1) / 10.0) ** 3)
         np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-6)
+
+
+def test_cyclic_epoch_factor_matches_torch_cyclic_lr():
+    """Triangular epoch factor == torch CyclicLR(base, 10*base,
+    step_size_up=warmup) stepped per epoch (`train_utils.py:131-134`,
+    `train.py:369`)."""
+    from equidock_public_tpu.train.optim import cyclic_epoch_factor
+
+    base = 2e-4
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(m.parameters(), lr=base)
+    sch = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=10 * base, step_size_up=5,
+        cycle_momentum=False)
+    for epoch in range(25):
+        torch_lr = opt.param_groups[0]["lr"]
+        ours = base * cyclic_epoch_factor(epoch, 5)
+        np.testing.assert_allclose(ours, torch_lr, rtol=1e-6)
+        opt.step()
+        sch.step()
+
+
+def test_reduce_on_plateau_matches_torch_rop():
+    """Host-side ReduceOnPlateau == torch ReduceLROnPlateau(mode=min,
+    factor=0.5, patience=3, rel threshold) on the same val-loss trace."""
+    from equidock_public_tpu.train.optim import ReduceOnPlateau
+
+    base = 1e-3
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(m.parameters(), lr=base)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=3, threshold_mode="rel",
+        cooldown=0, min_lr=0.0)
+    ours = ReduceOnPlateau(factor=0.5, patience=3)
+
+    rng = np.random.default_rng(0)
+    # plateaus then improvements then a long plateau (two reductions)
+    trace = [5.0, 4.0, 4.1, 4.05, 4.2, 4.0, 3.0] + [3.1] * 10
+    for v in trace:
+        sch.step(v)
+        scale = ours.step(v)
+        np.testing.assert_allclose(base * scale, opt.param_groups[0]["lr"],
+                                   rtol=1e-9, err_msg=f"val={v}")
+
+
+def test_lr_scale_scales_update():
+    """train_step's lr_scale multiplies the applied update exactly."""
+    from tests.utils import synth_batch, tiny_config
+    from equidock_public_tpu.models.iegmn import init_docking_model
+    from equidock_public_tpu.train.step import create_train_state, train_step
+
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(np.random.default_rng(0))
+    key = jax.random.PRNGKey(1)
+
+    # train_step donates its state, so give each state its own param copy
+    # and keep `params` itself out of the donated trees
+    s_full = create_train_state(jax.tree.map(jnp.copy, params), cfg)
+    s_zero = create_train_state(jax.tree.map(jnp.copy, params), cfg)
+    s_full, _ = train_step(s_full, batch, key, cfg, jnp.float32(1.0))
+    s_zero, _ = train_step(s_zero, batch, key, cfg, jnp.float32(0.0))
+    # scale 0 -> pure no-op on params
+    for a, b in zip(jax.tree.leaves(s_zero.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # scale 1 -> params actually moved
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(s_full.params),
+                                jax.tree.leaves(params)))
+    assert moved
