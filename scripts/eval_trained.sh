@@ -2,7 +2,8 @@
 # Evaluate the best trained checkpoint on the frozen DB5.5 test set:
 # inference (local CPU: fast compiles) + CRMSD/IRMSD scoring.
 set -e
-CKPT=$(ls -d checkpts/*/db5_model_best 2>/dev/null | head -1)
+# usage: eval_trained.sh [output_dir] [checkpoint_dir]
+CKPT=${2:-$(ls -d checkpts/*/db5_model_best 2>/dev/null | head -1)}
 if [ -z "$CKPT" ]; then echo "no checkpoint found"; exit 1; fi
 echo "checkpoint: $CKPT"
 OUT=${1:-results/db5_equidock_tpu_results}
