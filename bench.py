@@ -52,9 +52,12 @@ def main():
             cfg,
             model=dataclasses.replace(cfg.model, use_fused_attention=True),
             train=dataclasses.replace(cfg.train, use_fused_intersection=True))
-    # A/B knobs (PERF.md): BENCH_FACTORED=1 -> decomposed edge MLP,
-    # BENCH_DTYPE=bfloat16 -> bf16 matmuls w/ f32 accumulation
-    if os.environ.get("BENCH_FACTORED", "0") not in ("", "0"):
+    # Factored edge MLP wins at every measured size (605.6 vs 549.7 pairs/s
+    # at N=256, 130.4 vs 122 at N=1024 — results/bench_sweep.jsonl); default
+    # ON here, override with BENCH_FACTORED=0. BENCH_DTYPE=bfloat16 -> bf16
+    # matmuls w/ f32 accumulation (slightly slower at N=256: VPU/overhead-
+    # bound, not MXU-bound).
+    if os.environ.get("BENCH_FACTORED", "1") not in ("", "0"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, factored_edge_mlp=True))
     if os.environ.get("BENCH_DTYPE"):
