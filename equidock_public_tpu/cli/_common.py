@@ -53,7 +53,13 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-num_epochs", type=int, default=10000)
     p.add_argument("-clip", type=float, default=100.0)
     p.add_argument("-bs", type=int, default=10)
-    p.add_argument("-warmup", type=float, default=1.0)
+    p.add_argument("-warmup", type=float, default=1.0,
+                   help="warmup length. NOTE: for -scheduler warmup the cubic "
+                        "ramp is applied per optimizer STEP here; the "
+                        "reference steps its LambdaLR per EPOCH "
+                        "(train.py:369) — identical at the default warmup=1 "
+                        "the paper models use. For -scheduler cyclic the unit "
+                        "is epochs, matching the reference.")
     p.add_argument("-scheduler", default="warmup",
                    choices=["warmup", "cyclic", "ROP"])
     p.add_argument("-save_every_epochs", type=int, default=0,

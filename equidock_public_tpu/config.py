@@ -86,7 +86,7 @@ class TrainConfig:
 
     lr: float = 2e-4
     w_decay: float = 1e-4
-    scheduler: str = "warmup"        # 'warmup' | 'ROP'
+    scheduler: str = "warmup"        # 'warmup' | 'cyclic' | 'ROP'
     warmup: float = 1.0
     patience: int = 50
     num_epochs: int = 10000

@@ -27,7 +27,7 @@ RBF_LENGTH_SCALES = np.array([1.5 ** x for x in range(15)], dtype=np.float64)
 MU_R_SIGMAS = np.array([1.0, 2.0, 5.0, 10.0, 30.0], dtype=np.float64)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash: PadCache keys on the object
 class ProteinGraph:
     """Single-protein residue graph with fixed-degree neighbor tables."""
 

@@ -60,22 +60,30 @@ def _pad_axis0(a: np.ndarray, n: int, fill=0) -> np.ndarray:
 
 
 class PadCache:
-    """Per-(graph-id, n_max) cache of the padded STATIC protein fields.
+    """Per-(graph, n_max) cache of the padded STATIC protein fields.
 
     Augmentation only changes coordinates (`db5_data.py:195-204`); res_id,
     mu_r_norm, neighbor tables and edge features are identical every epoch, so
     their padded copies are built once per bucket and reused — this removes
-    most of the host-side collation cost per step."""
+    most of the host-side collation cost per step. Keyed on the live graph
+    object via weak references (entries die with the graph), so reloading a
+    sample can never alias a stale cache entry the way a raw `id()` key could."""
 
     def __init__(self):
-        self._cache = {}
+        import weakref
+
+        self._cache: "weakref.WeakKeyDictionary[ProteinGraph, dict]" = \
+            weakref.WeakKeyDictionary()
 
     def get(self, g: ProteinGraph, n_max: int) -> dict:
-        key = (id(g), n_max)
-        hit = self._cache.get(key)
+        per_graph = self._cache.get(g)
+        if per_graph is None:
+            per_graph = {}
+            self._cache[g] = per_graph
+        hit = per_graph.get(n_max)
         if hit is None:
             hit = pad_protein(g, n_max)
-            self._cache[key] = hit
+            per_graph[n_max] = hit
         return hit
 
 

@@ -386,7 +386,10 @@ def iegmn_forward(
     # ---- keypoint head (`rigid_docking_model.py:521-589`), fully batched ----
     d = cfg.iegmn_lay_hid_dim
     H = cfg.num_att_heads
-    hrng = jax.random.fold_in(rng, 10_000) if rng is not None else None
+    # independent dropout draws per side (the reference's two separate torch
+    # dropout calls, `rigid_docking_model.py:540-547`)
+    hrng_l = jax.random.fold_in(rng, 10_000) if rng is not None else None
+    hrng_r = jax.random.fold_in(rng, 10_001) if rng is not None else None
 
     def h_mean(h, mask, rng_):
         z = linear(p["mlp_h_mean_rot"], h, cfg.dtype)
@@ -394,8 +397,8 @@ def iegmn_forward(
         z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
         return masked_mean_over_nodes(z, mask)                  # (B, d)
 
-    mean_l = h_mean(h_l, lig.node_mask, hrng)
-    mean_r = h_mean(h_r, rec.node_mask, hrng)
+    mean_l = h_mean(h_l, lig.node_mask, hrng_l)
+    mean_r = h_mean(h_r, rec.node_mask, hrng_r)
 
     def keypoints(h_side, x_side, mask_side, mean_other):
         keys = linear(p["att_key_rot"], h_side, cfg.dtype).reshape(

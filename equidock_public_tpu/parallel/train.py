@@ -13,37 +13,33 @@ SURVEY §2.2).
 from __future__ import annotations
 
 import jax
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import os
 
 from ..config import Config
 from ..graph import PairBatch
-from ..train.step import TrainState, loss_fn
-from ..train.optim import make_optimizer
+from ..train.step import TrainState, step_body
 from .mesh import batch_pspec
 
 
 def make_parallel_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
-    """Returns a jitted train step with explicit in/out shardings over `mesh`."""
-    opt = make_optimizer(cfg.train)
+    """Returns a jitted train step with explicit in/out shardings over `mesh`.
+
+    The step math is `train.step.step_body` — the exact function the
+    single-chip path jits — so lr_scale scheduling, clip telemetry and any
+    future change apply to both paths identically."""
     repl = NamedSharding(mesh, P())
     batch_shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s), batch_pspec(shard_nodes),
         is_leaf=lambda x: isinstance(x, P))
 
-    def step(state: TrainState, batch: PairBatch, rng):
-        (loss, (metrics, _)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, cfg, batch, rng, True)
-        gnorm = optax.global_norm(grads)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
-        metrics["grad_norm"] = gnorm
-        return TrainState(params, opt_state, state.step + 1), metrics
+    def step(state: TrainState, batch: PairBatch, rng, lr_scale):
+        return step_body(state, batch, rng, cfg, lr_scale)
 
     return jax.jit(
         step,
-        in_shardings=(repl, batch_shardings, repl),
+        in_shardings=(repl, batch_shardings, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),   # update params/opt state in place
     )
@@ -51,11 +47,22 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False)
 
 def distributed_initialize_if_needed() -> None:
     """Multi-host bring-up: `jax.distributed.initialize` reads the TPU pod
-    environment (coordinator address / process id) automatically on Cloud TPU.
-    No-op when already initialized or single-process."""
-    try:
-        if jax.process_count() > 1:
-            return
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-process / already initialized
+    environment (coordinator address / process id / num processes)
+    automatically on Cloud TPU.
+
+    MUST run before anything touches a JAX backend: the first backend-touching
+    call (jax.devices(), jax.process_count(), any computation) initializes the
+    LOCAL runtime, after which distributed initialization cannot take effect
+    and a pod silently degrades to N independent single-host jobs. We therefore
+    decide from the environment alone, never by querying JAX."""
+    from jax._src import xla_bridge
+
+    if xla_bridge._backends:  # a backend already exists: too late to
+        return                # (re)initialize; assume caller did it
+    # Cloud TPU pods / multi-host GPU launchers export one of these.
+    multihost_env = ("MEGASCALE_COORDINATOR_ADDRESS",
+                     "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                     "TPU_WORKER_HOSTNAMES")
+    if not any(os.environ.get(v) for v in multihost_env):
+        return  # single-process: nothing to do
+    jax.distributed.initialize()

@@ -119,8 +119,10 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
 
 def run_eval_epoch(params, ds: DockingDataset, cfg: Config,
                    rng: np.random.Generator) -> Dict[str, float]:
-    """Eval epoch (`run_an_eval_epoch`, train.py:220-236): deterministic (no
-    shuffle/swap; augmentation still applies the dataset's stored transform)."""
+    """Eval epoch (`run_an_eval_epoch`, train.py:220-236): no shuffle/swap, but
+    each call still draws a fresh random SE(3) pose per complex (the reference's
+    `__getitem__` augmentation, db5_data.py:195-204) — which is why the val
+    metric is stochastic and `val_repeats` averaging denoises selection."""
     meter = RmsdMeter()
     sums: Dict[str, float] = {}
     num_batches = 0

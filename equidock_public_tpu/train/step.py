@@ -39,15 +39,16 @@ def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool):
     return loss, (metrics, out)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def train_step(
+def step_body(
     state: TrainState, batch: PairBatch, rng, cfg: Config,
     lr_scale: jnp.ndarray | float = 1.0,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimizer step. `lr_scale` is the epoch-level scheduler factor
-    (cyclic triangle / ReduceLROnPlateau, stepped per epoch by the loop as in
-    the reference, `train.py:364-369`); pass it as a jnp scalar so factor
-    changes don't recompile."""
+    """One optimizer step (shared by the single-chip `train_step` jit and the
+    multi-chip `parallel.train.make_parallel_train_step`, so the two paths
+    cannot drift). `lr_scale` is the epoch-level scheduler factor (cyclic
+    triangle / ReduceLROnPlateau, stepped per epoch by the loop as in the
+    reference, `train.py:364-369`); pass it as a jnp scalar so factor changes
+    don't recompile."""
     opt = make_optimizer(cfg.train)
     (loss, (metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, rng, True)
@@ -59,6 +60,14 @@ def train_step(
     metrics["grad_norm"] = gnorm
     metrics["clipped"] = (gnorm > cfg.train.clip).astype(jnp.float32)
     return TrainState(params, opt_state, state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(
+    state: TrainState, batch: PairBatch, rng, cfg: Config,
+    lr_scale: jnp.ndarray | float = 1.0,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    return step_body(state, batch, rng, cfg, lr_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

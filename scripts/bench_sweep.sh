@@ -12,11 +12,13 @@ run() {
   echo "}" >> "$OUT"
   tail -1 "$OUT"
 }
-run n256_base      BENCH_N=256
+# bench.py defaults BENCH_FACTORED=1: pin it to 0 on the base rows so the
+# A/B actually compares concat vs factored.
+run n256_base      BENCH_N=256  BENCH_FACTORED=0
 run n256_factored  BENCH_N=256  BENCH_FACTORED=1
-run n256_bf16      BENCH_N=256  BENCH_DTYPE=bfloat16
+run n256_bf16      BENCH_N=256  BENCH_FACTORED=0 BENCH_DTYPE=bfloat16
 run n256_fact_bf16 BENCH_N=256  BENCH_FACTORED=1 BENCH_DTYPE=bfloat16
-run n1024_base     BENCH_N=1024
+run n1024_base     BENCH_N=1024 BENCH_FACTORED=0
 run n1024_factored BENCH_N=1024 BENCH_FACTORED=1
-run n2048_base     BENCH_N=2048
+run n2048_base     BENCH_N=2048 BENCH_FACTORED=0
 run n2048_factored BENCH_N=2048 BENCH_FACTORED=1

@@ -40,7 +40,7 @@ def test_data_parallel_matches_single_device(rng):
         state_r = jax.tree.map(lambda x: replicate(x, mesh), state)
         sharded = shard_batch(batch, mesh, shard_nodes=False)
         step = make_parallel_train_step(cfg, mesh, shard_nodes=False)
-        state2, m2 = step(state_r, sharded, key)
+        state2, m2 = step(state_r, sharded, key, jnp.asarray(1.0))
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
@@ -65,7 +65,7 @@ def test_graph_parallel_matches_single_device(rng):
         state_r = jax.tree.map(lambda x: replicate(x, mesh), state)
         sharded = shard_batch(batch, mesh, shard_nodes=True)
         step = make_parallel_train_step(cfg, mesh, shard_nodes=True)
-        state2, m2 = step(state_r, sharded, key)
+        state2, m2 = step(state_r, sharded, key, jnp.asarray(1.0))
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state1.params),

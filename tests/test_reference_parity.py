@@ -46,8 +46,11 @@ def torch_mlp2(p, x, slope, use_ln):
 
 
 def torch_layer(lp, cfg, skip, x_l, h_l, x_r, h_r, orig_h_l, orig_h_r,
-                he_l, he_r, nbr_l, mask_l, nbr_r, mask_r):
-    """One IEGMN layer per the reference equations, unpadded, float64."""
+                he_l, he_r, nbr_l, mask_l, nbr_r, mask_r, fine_tune=False):
+    """One IEGMN layer per the reference equations, unpadded, float64.
+
+    `fine_tune=True` adds the coordinate cross-attention correction of
+    `rigid_docking_model.py:294-310`."""
     slope = cfg.leakyrelu_neg_slope
     sig = torch.tensor([1.5 ** k for k in range(15)], dtype=torch.float64)
 
@@ -86,6 +89,26 @@ def torch_layer(lp, cfg, skip, x_l, h_l, x_r, h_r, orig_h_l, orig_h_r,
 
     x_fin_l = coord(x_l, x_rel_l, msg_l, mask_l)
     x_fin_r = coord(x_r, x_rel_r, msg_r, mask_r)
+
+    if fine_tune:
+        # x_final += V(h) * (x_now - cross_att(Q(h), K(h_other), x_now_other))
+        # (`rigid_docking_model.py:294-310`; Q/K are bias-free + LeakyReLU,
+        #  V is Linear -> LeakyReLU -> Linear(d, 1))
+        def ft_att(q_h, k_h, x_vals):
+            q = torch.nn.functional.leaky_relu(
+                q_h @ t64(lp["ft_att_q"]["w"]), slope)
+            k = torch.nn.functional.leaky_relu(
+                k_h @ t64(lp["ft_att_k"]["w"]), slope)
+            w = torch.softmax(q @ k.T, dim=1)
+            return w @ x_vals
+
+        def ft_v(h):
+            z = torch.nn.functional.leaky_relu(
+                torch_linear(lp["ft_att_v1"], h), slope)
+            return torch_linear(lp["ft_att_v2"], z)
+
+        x_fin_l = x_fin_l + ft_v(h_l) * (x_l - ft_att(h_l, h_r, x_r))
+        x_fin_r = x_fin_r + ft_v(h_r) * (x_r - ft_att(h_r, h_l, x_l))
 
     def node(h, msg, cross, orig_h, mask):
         m = mask[..., None].to(torch.float64)
@@ -217,3 +240,102 @@ def test_full_forward_R_t_allclose(setup):
     pred_torch = (R_t @ t64(batch.lig.x[0]).T).T + t_t
     np.testing.assert_allclose(np.asarray(out["ligand_coords"][0]),
                                pred_torch.numpy(), rtol=1e-2, atol=5e-2)
+
+
+# --------------------------------------------------------------------------- #
+# Fine-tune (two-stage) path, `rigid_docking_model.py:294-310,611-692`
+# --------------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def ft_setup():
+    cfg = tiny_config(iegmn_n_lays=3, fine_tune=True)
+    rng = np.random.default_rng(7)
+    batch = synth_batch(rng, B=1, N_l=12, N_r=16, n_l=12, n_r=16,
+                        coord_scale=500.0)
+    params = init_docking_model(jax.random.PRNGKey(5), cfg.model)
+    return cfg, batch, params
+
+
+def _torch_trunk(p, mc, batch, x_l, x_r, n_lays, fine_tune):
+    """Reference IEGMN trunk + keypoint head in float64 torch, starting the
+    ligand at coordinates `x_l` (the stage input, `rigid_docking_model.py:
+    459-471,483-501`)."""
+    emb = t64(p["embedding"]["e"])
+    h_l = torch.cat([emb[np.asarray(batch.lig.res_id[0], dtype=np.int64)],
+                     torch.log(t64(batch.lig.mu_r_norm[0]))], dim=1)
+    h_r = torch.cat([emb[np.asarray(batch.rec.res_id[0], dtype=np.int64)],
+                     torch.log(t64(batch.rec.mu_r_norm[0]))], dim=1)
+    orig_h_l, orig_h_r = h_l, h_r
+    nbr_l = torch.tensor(np.asarray(batch.lig.nbr[0], dtype=np.int64))
+    nbr_r = torch.tensor(np.asarray(batch.rec.nbr[0], dtype=np.int64))
+    mask_l = t64(batch.lig.nbr_mask[0])
+    mask_r = t64(batch.rec.nbr_mask[0])
+    he_l, he_r = t64(batch.lig.edge_feat[0]), t64(batch.rec.edge_feat[0])
+    for i in range(n_lays):
+        lp = (p["layer0"] if i == 0 else
+              jax.tree.map(lambda a: a[i - 1], p["rest"]))
+        x_l, h_l, x_r, h_r = torch_layer(
+            lp, mc, i > 0, x_l, h_l, x_r, h_r, orig_h_l, orig_h_r,
+            he_l, he_r, nbr_l, mask_l, nbr_r, mask_r, fine_tune=fine_tune)
+    return torch_keypoint_head(p, mc, h_l, x_l, h_r, x_r)
+
+
+def test_fine_tune_layer_parity(ft_setup):
+    """The ft coordinate cross-attention terms match the reference equations
+    (`rigid_docking_model.py:294-310`) with identical weights."""
+    cfg, batch, params = ft_setup
+    mc = cfg.model
+    pft = params["finetune"]
+
+    D = mc.input_node_feats_dim
+    rngh = np.random.default_rng(11)
+    h_l = jnp.asarray(rngh.standard_normal((1, 12, D)).astype(np.float32))
+    h_r = jnp.asarray(rngh.standard_normal((1, 16, D)).astype(np.float32))
+    jax_out = iegmn_layer_forward(
+        pft["layer0"], mc, True, False, batch.lig, batch.rec,
+        batch.lig.x, h_l, batch.rec.x, h_r, h_l, h_r,
+        batch.lig.edge_feat, batch.rec.edge_feat, batch.lig.x, batch.rec.x)
+
+    t_out = torch_layer(
+        pft["layer0"], mc, False,
+        t64(batch.lig.x[0]), t64(h_l[0]), t64(batch.rec.x[0]), t64(h_r[0]),
+        t64(h_l[0]), t64(h_r[0]),
+        t64(batch.lig.edge_feat[0]), t64(batch.rec.edge_feat[0]),
+        torch.tensor(np.asarray(batch.lig.nbr[0], dtype=np.int64)),
+        t64(batch.lig.nbr_mask[0]),
+        torch.tensor(np.asarray(batch.rec.nbr[0], dtype=np.int64)),
+        t64(batch.rec.nbr_mask[0]), fine_tune=True)
+
+    for lbl, j, t in zip(["x_lig", "h_lig", "x_rec", "h_rec"], jax_out, t_out):
+        np.testing.assert_allclose(np.asarray(j[0]), t.numpy(), rtol=1e-4,
+                                   atol=1e-4, err_msg="ft " + lbl)
+
+
+def test_two_stage_forward_parity(ft_setup):
+    """Full -fine_tune forward: stage-1 (R0,t0) applied to the ligand, then the
+    2-layer ft trunk — final coords match the reference composition
+    (`rigid_docking_model.py:642-692`)."""
+    cfg, batch, params = ft_setup
+    mc = cfg.model
+
+    out = docking_forward(params, mc, batch)
+
+    # torch: stage 1 (original trunk, no ft terms)
+    R0, t0, _, _ = _torch_trunk(params["original"], mc, batch,
+                                t64(batch.lig.x[0]), t64(batch.rec.x[0]),
+                                mc.iegmn_n_lays, fine_tune=False)
+    x_l_mid = (R0 @ t64(batch.lig.x[0]).T).T + t0
+    # stage 2 (2-layer ft trunk) on the moved ligand
+    R, t, Y_lig, Y_rec = _torch_trunk(params["finetune"], mc, batch,
+                                      x_l_mid, t64(batch.rec.x[0]), 2,
+                                      fine_tune=True)
+    pred = (R @ x_l_mid.T).T + t
+
+    np.testing.assert_allclose(np.asarray(out["keypts_lig"][0]),
+                               Y_lig.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["keypts_rec"][0]),
+                               Y_rec.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["R"][0]), R.numpy(),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out["ligand_coords"][0]),
+                               pred.numpy(), rtol=1e-2, atol=5e-2)
