@@ -47,8 +47,16 @@ def main():
     add_config_args(p)
     p.add_argument("-num_trials", type=int, default=5)
     p.add_argument("-max_epochs", type=int, default=None)
-    p.add_argument("-max_seconds", type=float, default=None)
+    p.add_argument("-max_seconds", type=float, default=None,
+                   help="wall-clock budget per trial")
+    p.add_argument("-compile_cache", default="./jax_cache")
     a = p.parse_args()
+    if a.compile_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(a.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     base = config_from_args(a)
     rng = random.Random(a.random_seed)
 

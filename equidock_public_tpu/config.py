@@ -164,6 +164,10 @@ class Config:
             ("xConnI", m.x_connection_init), ("LkySl", m.leakyrelu_neg_slope),
             ("pokOTw", t.pocket_ot_loss_weight),
         ]
+        # appended only when set so pre-existing non-ft checkpoint dirs keep
+        # their names (the reference banner never encoded -fine_tune)
+        if m.fine_tune:
+            parts.append(("FT", True))
 
         def tostr(v):
             if isinstance(v, bool):

@@ -150,7 +150,7 @@ def _rbf_of_sq_dist(x_rel: jnp.ndarray, enabled: bool) -> jnp.ndarray:
     return out
 
 
-def _edge_mlp_factored(p: Params, side: ProteinBatch, h, he, rbf,
+def _edge_mlp_factored(p: Params, side: ProteinBatch, h_src, h_dst, he, rbf,
                        cfg: ModelConfig, rng, train) -> jnp.ndarray:
     """Edge MLP with `lin1(concat([h_src, h_dst, he, rbf]))` decomposed into
     per-term matmuls: `concat @ W == h_src @ W_a + h_dst @ W_b + he @ W_c +
@@ -161,7 +161,7 @@ def _edge_mlp_factored(p: Params, side: ProteinBatch, h, he, rbf,
     intermediates of the XLA concat path. Bitwise it differs from the concat
     form only in summation order. Same params; checkpoints interchangeable."""
     W = p["lin1"]["w"]
-    D = h.shape[-1]
+    D = h_dst.shape[-1]
     E = he.shape[-1]
 
     def mm(x, w):
@@ -171,8 +171,8 @@ def _edge_mlp_factored(p: Params, side: ProteinBatch, h, he, rbf,
         return jnp.einsum("...i,io->...o", x, w,
                           preferred_element_type=jnp.float32).astype(jnp.float32)
 
-    pre = (gather_neighbors(mm(h, W[:D]), side.nbr)
-           + mm(h, W[D:2 * D])[:, :, None, :]
+    pre = (gather_neighbors(mm(h_src, W[:D]), side.nbr)
+           + mm(h_dst, W[D:2 * D])[:, :, None, :]
            + mm(he, W[2 * D:2 * D + E])
            + mm(rbf, W[2 * D + E:])
            + p["lin1"]["b"])
@@ -191,12 +191,28 @@ def iegmn_layer_forward(
     orig_x_l, orig_x_r,
     rng=None, train: bool = False,
     stats: Optional[dict] = None,
+    src_l: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    src_r: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    attend=None,
+    gn_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One IEGMN layer (`rigid_docking_model.py:189-352`), both proteins.
 
     When `stats` is a dict, labelled per-stage tensor maxima are recorded —
     the debug-trace mode of the reference (`rigid_docking_model.py:199-344`,
     `-debug` flag) and the hook for per-layer activation parity checks.
+
+    Node-sharded (halo-exchange) mode, used by `parallel.halo` inside
+    shard_map so the SAME layer body serves both paths:
+      * `src_l` / `src_r`: optional (x_src, h_src) arrays the neighbor gathers
+        read from — the local block concatenated with the received halo rows,
+        indexed by the remapped `side.nbr`. Default: the local arrays
+        themselves (dense path, identical trace).
+      * `attend`: optional cross-attention callable with the signature of
+        `ops.attention.cross_attention` (the halo path passes the ring
+        ppermute variant over local K/V chunks).
+      * `gn_axis`: mesh axis name for GraphNorm statistics when the node axis
+        is sharded.
     """
     rngs = jax.random.split(rng, 6) if rng is not None else [None] * 6
 
@@ -206,22 +222,24 @@ def iegmn_layer_forward(
                 value = jnp.where(mask > 0, value, -jnp.inf)
             stats[name] = jnp.max(value)
 
-    def edge_messages(side: ProteinBatch, x, h, he, rng_):
-        x_src = gather_neighbors(x, side.nbr)                  # (B,N,K,3)
+    def edge_messages(side: ProteinBatch, x, h, he, rng_, src):
+        x_s, h_s = src if src is not None else (x, h)
+        x_src = gather_neighbors(x_s, side.nbr)                # (B,N,K,3)
         x_rel = x_src - x[:, :, None, :]                       # src - dst
         rbf = _rbf_of_sq_dist(x_rel, cfg.use_dist_in_layers)
         if cfg.factored_edge_mlp:
-            msg = _edge_mlp_factored(p["edge_mlp"], side, h, he, rbf, cfg,
+            msg = _edge_mlp_factored(p["edge_mlp"], side, h_s, h, he, rbf, cfg,
                                      rng_, train)
         else:
-            h_src = gather_neighbors(h, side.nbr)              # (B,N,K,D)
-            h_dst = jnp.broadcast_to(h[:, :, None, :], h_src.shape)
+            h_src = gather_neighbors(h_s, side.nbr)            # (B,N,K,D)
+            h_dst = jnp.broadcast_to(h[:, :, None, :],
+                                     h_src.shape[:-1] + (h.shape[-1],))
             msg_in = jnp.concatenate([h_src, h_dst, he, rbf], axis=-1)
             msg = _mlp2(p["edge_mlp"], msg_in, cfg, cfg.layer_norm, rng_, train)
         return x_rel, msg
 
-    x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0])
-    x_rel_r, msg_r = edge_messages(rec, x_r, h_r, he_r, rngs[1])
+    x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0], src_l)
+    x_rel_r, msg_r = edge_messages(rec, x_r, h_r, he_r, rngs[1], src_r)
     rec_stat("x_now", x_l, lig.node_mask[..., None])
     rec_stat("h_feat", h_l, lig.node_mask[..., None])
     rec_stat("x_rel", x_rel_l, lig.nbr_mask[..., None])
@@ -234,15 +252,20 @@ def iegmn_layer_forward(
     def kk(h):
         return nonlin(linear(p["att_k"], h, cfg.dtype), cfg.nonlin, cfg.leakyrelu_neg_slope)
 
-    if cfg.use_fused_attention and cfg.cross_msgs:
+    if attend is not None:
+        cross_l = attend(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
+                         lig.node_mask, rec.node_mask, cfg.cross_msgs)
+        cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
+                         rec.node_mask, lig.node_mask, cfg.cross_msgs)
+    elif cfg.use_fused_attention and cfg.cross_msgs:
         from ..ops.pallas.cross_attention import cross_attention_fused
 
         interp = jax.default_backend() == "cpu"
-        attend = functools.partial(cross_attention_fused, interpret=interp)
-        cross_l = attend(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
-                         lig.node_mask, rec.node_mask)
-        cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
-                         rec.node_mask, lig.node_mask)
+        fused = functools.partial(cross_attention_fused, interpret=interp)
+        cross_l = fused(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
+                        lig.node_mask, rec.node_mask)
+        cross_r = fused(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
+                        rec.node_mask, lig.node_mask)
     else:
         cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
                                   lig.node_mask, rec.node_mask, cfg.cross_msgs)
@@ -273,13 +296,12 @@ def iegmn_layer_forward(
                        cfg.leakyrelu_neg_slope)
             return linear(p["ft_att_v2"], z)
 
-        att_x_l = cross_attention(ft_qk(h_l, "ft_att_q"), ft_qk(h_r, "ft_att_k"),
-                                  x_r, lig.node_mask, rec.node_mask,
-                                  cfg.cross_msgs)
+        ft_attend = attend if attend is not None else cross_attention
+        att_x_l = ft_attend(ft_qk(h_l, "ft_att_q"), ft_qk(h_r, "ft_att_k"),
+                            x_r, lig.node_mask, rec.node_mask, cfg.cross_msgs)
         x_final_l = x_final_l + ft_v(h_l) * (x_l - att_x_l)
-        att_x_r = cross_attention(ft_qk(h_r, "ft_att_q"), ft_qk(h_l, "ft_att_k"),
-                                  x_l, rec.node_mask, lig.node_mask,
-                                  cfg.cross_msgs)
+        att_x_r = ft_attend(ft_qk(h_r, "ft_att_q"), ft_qk(h_l, "ft_att_k"),
+                            x_l, rec.node_mask, lig.node_mask, cfg.cross_msgs)
         x_final_r = x_final_r + ft_v(h_r) * (x_r - att_x_r)
 
     # Feature update (`rigid_docking_model.py:319-349`)
@@ -292,7 +314,8 @@ def iegmn_layer_forward(
         if cfg.final_h_layer_norm == "LN":
             upd = layer_norm(p["final_h_norm"], upd)
         elif cfg.final_h_layer_norm == "GN":
-            upd = graph_norm(p["final_h_norm"], upd, side.node_mask)
+            upd = graph_norm(p["final_h_norm"], upd, side.node_mask,
+                             axis=gn_axis)
         return upd
 
     h_final_l = node_update(lig, h_l, msg_l, cross_l, orig_h_l, rngs[4])
@@ -383,7 +406,15 @@ def iegmn_forward(
             (x_l, h_l, x_r, h_r), _ = jax.lax.scan(
                 body, (x_l, h_l, x_r, h_r), (stacked, idxs))
 
-    # ---- keypoint head (`rigid_docking_model.py:521-589`), fully batched ----
+    return keypoint_head(p, cfg, h_l, x_l, h_r, x_r,
+                         lig.node_mask, rec.node_mask, rng, train)
+
+
+def keypoint_head(p: Params, cfg: ModelConfig, h_l, x_l, h_r, x_r,
+                  lig_mask, rec_mask, rng=None, train: bool = False):
+    """Attention-pooled keypoints + batched Kabsch fit
+    (`rigid_docking_model.py:521-589`), fully batched over B. Shared by the
+    dense trunk and the node-sharded halo trunk (which gathers h/x first)."""
     d = cfg.iegmn_lay_hid_dim
     H = cfg.num_att_heads
     # independent dropout draws per side (the reference's two separate torch
@@ -397,8 +428,8 @@ def iegmn_forward(
         z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
         return masked_mean_over_nodes(z, mask)                  # (B, d)
 
-    mean_l = h_mean(h_l, lig.node_mask, hrng_l)
-    mean_r = h_mean(h_r, rec.node_mask, hrng_r)
+    mean_l = h_mean(h_l, lig_mask, hrng_l)
+    mean_r = h_mean(h_r, rec_mask, hrng_r)
 
     def keypoints(h_side, x_side, mask_side, mean_other):
         keys = linear(p["att_key_rot"], h_side, cfg.dtype).reshape(
@@ -411,8 +442,8 @@ def iegmn_forward(
         att = jax.nn.softmax(logits, axis=-1)                   # (B, H, N)
         return jnp.einsum("bhn,bnc->bhc", att, x_side)          # (B, H, 3)
 
-    keypts_rec = keypoints(h_r, x_r, rec.node_mask, mean_l)
-    keypts_lig = keypoints(h_l, x_l, lig.node_mask, mean_r)
+    keypts_rec = keypoints(h_r, x_r, rec_mask, mean_l)
+    keypts_lig = keypoints(h_l, x_l, lig_mask, mean_r)
 
     R, t = rigid_fit(keypts_lig, keypts_rec)
     return R, t, keypts_lig, keypts_rec

@@ -76,16 +76,23 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
 
 
 def graph_norm(p: Params, x: jnp.ndarray, node_mask: jnp.ndarray,
-               eps: float = 1e-5) -> jnp.ndarray:
+               eps: float = 1e-5, axis: Optional[str] = None) -> jnp.ndarray:
     """Per-graph feature normalization over the node axis (GraphNorm,
     `src/utils/graph_norm.py:26-41`): normalize each feature by the mean/std
     over that complex's valid nodes. x (B, N, D), node_mask (B, N).
 
     Matches the reference's (x - mean) / (std + eps) with std the sample
-    standard deviation (ddof=1)."""
+    standard deviation (ddof=1). When the node axis is sharded over a mesh
+    axis (`axis`, halo path), the statistics psum over it so they cover the
+    whole complex."""
     w = node_mask[..., None]
-    n = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)[:, None, None]
-    mean = jnp.sum(x * w, axis=1, keepdims=True) / n
-    var = jnp.sum(((x - mean) ** 2) * w, axis=1, keepdims=True) / jnp.maximum(n - 1.0, 1.0)
+
+    def _sum(v):
+        s = jnp.sum(v, axis=1, keepdims=True)
+        return jax.lax.psum(s, axis) if axis is not None else s
+
+    n = jnp.maximum(_sum(w), 1.0)
+    mean = _sum(x * w) / n
+    var = _sum(((x - mean) ** 2) * w) / jnp.maximum(n - 1.0, 1.0)
     out = (x - mean) / (jnp.sqrt(var) + eps)
     return out * p["g"] + p["b"]

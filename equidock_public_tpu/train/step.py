@@ -42,15 +42,19 @@ def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool):
 def step_body(
     state: TrainState, batch: PairBatch, rng, cfg: Config,
     lr_scale: jnp.ndarray | float = 1.0,
+    loss_fn_=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step (shared by the single-chip `train_step` jit and the
-    multi-chip `parallel.train.make_parallel_train_step`, so the two paths
-    cannot drift). `lr_scale` is the epoch-level scheduler factor (cyclic
-    triangle / ReduceLROnPlateau, stepped per epoch by the loop as in the
-    reference, `train.py:364-369`); pass it as a jnp scalar so factor changes
-    don't recompile."""
+    multi-chip `parallel.train.make_parallel_train_step` /
+    `parallel.halo.make_halo_train_step`, so the paths cannot drift).
+    `lr_scale` is the epoch-level scheduler factor (cyclic triangle /
+    ReduceLROnPlateau, stepped per epoch by the loop as in the reference,
+    `train.py:364-369`); pass it as a jnp scalar so factor changes don't
+    recompile. `loss_fn_` swaps the forward (halo path) while keeping the
+    optimizer/telemetry identical."""
     opt = make_optimizer(cfg.train)
-    (loss, (metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    fn = loss_fn_ if loss_fn_ is not None else loss_fn
+    (loss, (metrics, _)), grads = jax.value_and_grad(fn, has_aux=True)(
         state.params, cfg, batch, rng, True)
     gnorm = optax.global_norm(grads)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
