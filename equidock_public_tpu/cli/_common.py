@@ -19,9 +19,10 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-shared_layers", action="store_true")
     p.add_argument("-cross_msgs", action="store_true", default=True)
     p.add_argument("-dropout", type=float, default=0.0)
-    p.add_argument("-layer_norm", default="LN", choices=["0", "LN"])
-    p.add_argument("-layer_norm_coors", default="0", choices=["0", "LN"])
-    p.add_argument("-final_h_layer_norm", default="0", choices=["0", "LN", "GN"])
+    p.add_argument("-layer_norm", default="LN", choices=["0", "LN", "BN"])
+    p.add_argument("-layer_norm_coors", default="0", choices=["0", "LN", "BN"])
+    p.add_argument("-final_h_layer_norm", default="0",
+                   choices=["0", "LN", "GN", "BN"])
     p.add_argument("-nonlin", default="lkyrelu", choices=["lkyrelu", "swish"])
     p.add_argument("-leakyrelu_neg_slope", type=float, default=1e-2)
     p.add_argument("-skip_weight_h", type=float, default=0.5)
@@ -41,6 +42,9 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-factored_edge_mlp", action="store_true",
                    help="decomposed edge-MLP matmuls (same params, fewer "
                         "per-edge MACs)")
+    p.add_argument("-fused_edge_message", action="store_true",
+                   help="fused Pallas edge-message+segment-mean kernel "
+                        "(forward path)")
     p.add_argument("-use_fused_intersection", action="store_true",
                    help="fused Pallas softmin-field intersection kernel")
     p.add_argument("-remat", action="store_true")
@@ -111,7 +115,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             use_mean_node_features=bool(a.use_mean_node_features),
             divide_coors_dist=bool(a.divide_coors_dist),
             use_fused_attention=a.use_fused_attention,
-            factored_edge_mlp=a.factored_edge_mlp, remat=a.remat,
+            factored_edge_mlp=a.factored_edge_mlp,
+            fused_edge_message=a.fused_edge_message, remat=a.remat,
             dtype=a.dtype),
         graph=GraphConfig(
             graph_cutoff=a.graph_cutoff,

@@ -13,7 +13,8 @@ import argparse
 
 import jax
 
-from ..models.iegmn import init_docking_model
+from ..models.iegmn import (init_bn_state, init_docking_model,
+                            uses_batch_norm)
 from ..train.checkpoint import load_checkpoint
 from ..eval.inference import run_inference_dir
 from ._common import add_config_args, config_from_args
@@ -38,6 +39,7 @@ def main():
     if a.checkpoint:
         payload, cfg_ckpt, _ = load_checkpoint(a.checkpoint)
         params = payload["params"]
+        bn_state = payload.get("bn_state")
         # adopt the checkpoint's model config
         import dataclasses
 
@@ -45,6 +47,8 @@ def main():
     else:
         print("WARNING: no checkpoint given - running with random init")
         params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+        bn_state = (init_bn_state(cfg.model)
+                    if uses_batch_norm(cfg.model) else None)
 
     method = a.method_name + ("_no_clashes" if a.remove_clashes else "")
     if a.batched:
@@ -53,11 +57,11 @@ def main():
         assert not a.remove_clashes, "clash removal is per-complex only"
         run_batched_inference(params, cfg, a.input_dir, a.ground_truth_dir,
                               a.output_dir, method_name=method,
-                              batch_size=a.batch_size)
+                              batch_size=a.batch_size, bn_state=bn_state)
     else:
         run_inference_dir(params, cfg, a.input_dir, a.ground_truth_dir,
                           a.output_dir, method_name=method,
-                          remove_clashes=a.remove_clashes)
+                          remove_clashes=a.remove_clashes, bn_state=bn_state)
 
 
 if __name__ == "__main__":

@@ -32,13 +32,19 @@ def main():
 
         payload, cfg_ckpt, _ = load_checkpoint(a.checkpoint)
         params = payload["params"]
+        bn_state = payload.get("bn_state")
         cfg = dataclasses.replace(cfg, model=cfg_ckpt.model)
     else:
         print(json.dumps({"warning": "random init (no checkpoint)"}),
               flush=True)
         params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+        from ..models.iegmn import init_bn_state, uses_batch_norm
 
-    forward_fn = jax.jit(lambda p, b: docking_forward(p, cfg.model, b))
+        bn_state = (init_bn_state(cfg.model)
+                    if uses_batch_norm(cfg.model) else None)
+
+    forward_fn = jax.jit(
+        lambda p, b: docking_forward(p, cfg.model, b, bn_state=bn_state))
     print(json.dumps({"ready": True}), flush=True)
 
     for line in sys.stdin:

@@ -56,7 +56,7 @@ def main():
             init_docking_model(jax.random.PRNGKey(0), cfg.model), cfg)
         payload, _, epoch = load_checkpoint(a.continue_train_model, tmpl)
         state = TrainState(payload["params"], payload["opt_state"],
-                           payload["step"])
+                           payload["step"], payload.get("bn_state", ()))
         print(f"Continuing from {a.continue_train_model} (epoch {epoch})")
 
     log = make_logger(cfg)

@@ -30,7 +30,7 @@ class ModelConfig:
     leakyrelu_neg_slope: float = 1e-2
     dropout: float = 0.0
     layer_norm: str = "LN"           # inside edge/node MLPs: '0' | 'BN' | 'LN'
-    layer_norm_coors: str = "0"      # inside coors MLP
+    layer_norm_coors: str = "0"      # inside coors MLP: '0' | 'BN' | 'LN'
     final_h_layer_norm: str = "0"    # after each layer: '0' | 'LN' | 'GN' | 'BN'
     cross_msgs: bool = True
     use_dist_in_layers: bool = True
@@ -56,6 +56,10 @@ class ModelConfig:
     # products per node instead of h per edge; ~3x fewer edge MACs at K=10).
     # Numerically identical params; differs only in summation order.
     factored_edge_mlp: bool = False
+    # Fused Pallas edge-message kernel: gathers + RBF + edge/coors MLPs +
+    # segment means in one VMEM-resident kernel (forward path; backward
+    # recomputes through the XLA expression). Same params.
+    fused_edge_message: bool = False
     # Rematerialize each IEGMN layer in the backward pass (trade FLOPs for
     # HBM; lets deep configs / big buckets fit).
     remat: bool = False

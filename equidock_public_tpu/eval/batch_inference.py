@@ -26,6 +26,7 @@ def run_batched_inference(
     input_dir: str, ground_truth_dir: str, output_dir: str,
     method_name: str = "equidock_tpu", batch_size: int = 5,
     log=print,
+    bn_state=None,
 ) -> float:
     """Dock every `*_l_b.pdb` in input_dir in padded batches. Returns total
     model wall-time (seconds) excluding PDB I/O."""
@@ -49,7 +50,8 @@ def run_batched_inference(
 
     # size-sorted batches cut padding waste
     entries.sort(key=lambda e: max(e["lig"].num_nodes, e["rec"].num_nodes))
-    forward = jax.jit(lambda p, b: docking_forward(p, cfg.model, b))
+    forward = jax.jit(
+        lambda p, b: docking_forward(p, cfg.model, b, bn_state=bn_state))
 
     model_time = 0.0
     for start in range(0, len(entries), batch_size):

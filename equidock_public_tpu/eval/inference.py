@@ -91,6 +91,7 @@ def dock_one(
     ligand_pdb: str, receptor_pdb: str, out_path: str,
     remove_clashes: bool = False,
     forward_fn=None,
+    bn_state=None,
 ) -> InferenceResult:
     """Dock one ligand onto one receptor and write the transformed ligand PDB."""
     t0 = time.time()
@@ -110,7 +111,7 @@ def dock_one(
 
     if forward_fn is None:
         forward_fn = jax.jit(
-            lambda p, b: docking_forward(p, cfg.model, b),
+            lambda p, b: docking_forward(p, cfg.model, b, bn_state=bn_state),
         )
     out = forward_fn(params, batch)
     R = np.asarray(out["R"][0])
@@ -142,12 +143,14 @@ def run_inference_dir(
     input_dir: str, ground_truth_dir: str, output_dir: str,
     method_name: str = "equidock_tpu", remove_clashes: bool = False,
     log=print,
+    bn_state=None,
 ) -> list:
     """Dock every `*_l_b.pdb` in input_dir against its ground-truth receptor
     (`inference_rigid.py:127-245`)."""
     os.makedirs(output_dir, exist_ok=True)
     results = []
-    forward_fn = jax.jit(lambda p, b: docking_forward(p, cfg.model, b))
+    forward_fn = jax.jit(
+        lambda p, b: docking_forward(p, cfg.model, b, bn_state=bn_state))
     for file in sorted(os.listdir(input_dir)):
         if not file.endswith("_l_b.pdb"):
             continue

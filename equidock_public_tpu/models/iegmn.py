@@ -29,7 +29,8 @@ from ..graph import PairBatch, ProteinBatch
 from ..ops.attention import cross_attention
 from ..ops.kabsch import apply_rigid, rigid_fit
 from ..ops.segment import gather_neighbors, masked_mean_over_k, masked_mean_over_nodes
-from .layers import (Params, dropout, embedding, graph_norm, init_embedding,
+from .layers import (BNContext, Params, dropout, embedding, graph_norm,
+                     init_bn_state as _init_bn_site, init_embedding,
                      init_layer_norm, init_linear, layer_norm, linear, nonlin)
 
 RBF_SIGMAS = tuple(1.5 ** x for x in range(15))  # rigid_docking_model.py:116
@@ -50,19 +51,31 @@ def _init_mlp2(rng, in_dim, hid_dim, out_dim, use_ln: bool) -> Params:
     return p
 
 
-def _mlp2_tail(p: Params, pre, cfg: ModelConfig, ln_kind: str, rng, train):
-    """Everything after lin1: Dropout -> nonlin -> (LN) -> lin2. Shared by the
-    concat and factored edge-MLP paths so they stay the same function."""
+def _mlp2_tail(p: Params, pre, cfg: ModelConfig, ln_kind: str, rng, train,
+               bn=None, bn_name=None, bn_mask=None):
+    """Everything after lin1: Dropout -> nonlin -> (LN | BN) -> lin2. Shared
+    by the concat and factored edge-MLP paths so they stay the same function.
+    `bn` is the `BNContext` threading running statistics (required when
+    `ln_kind == 'BN'`); `bn_mask` restricts the batch statistics to valid
+    rows (the reference feeds exact unpadded rows, so its plain BatchNorm1d
+    is equivalent)."""
     h = dropout(pre, cfg.dropout, rng, train)
     h = nonlin(h, cfg.nonlin, cfg.leakyrelu_neg_slope)
     if ln_kind == "LN":
         h = layer_norm(p["ln"], h)
+    elif ln_kind == "BN":
+        if bn is None:
+            raise ValueError(
+                "layer_norm='BN' needs running statistics: pass bn_state "
+                "(see models.iegmn.init_bn_state) into docking_forward")
+        h = bn(bn_name, p["ln"], h, bn_mask)
     return linear(p["lin2"], h, cfg.dtype)
 
 
-def _mlp2(p: Params, x, cfg: ModelConfig, ln_kind: str, rng, train) -> jnp.ndarray:
+def _mlp2(p: Params, x, cfg: ModelConfig, ln_kind: str, rng, train,
+          bn=None, bn_name=None, bn_mask=None) -> jnp.ndarray:
     return _mlp2_tail(p, linear(p["lin1"], x, cfg.dtype), cfg, ln_kind, rng,
-                      train)
+                      train, bn, bn_name, bn_mask)
 
 
 def init_iegmn_layer(rng, cfg: ModelConfig, orig_dim: int, h_dim: int,
@@ -72,16 +85,16 @@ def init_iegmn_layer(rng, cfg: ModelConfig, orig_dim: int, h_dim: int,
     node_in = orig_dim + 2 * h_dim + out_dim
     p: Params = {
         "edge_mlp": _init_mlp2(ks[0], edge_in, out_dim, out_dim,
-                               cfg.layer_norm == "LN"),
+                               cfg.layer_norm in ("LN", "BN")),
         "node_mlp": _init_mlp2(ks[1], node_in, h_dim, out_dim,
-                               cfg.layer_norm == "LN"),
+                               cfg.layer_norm in ("LN", "BN")),
         "coors_mlp": _init_mlp2(ks[2], out_dim, out_dim, 1,
-                                cfg.layer_norm_coors == "LN"),
+                                cfg.layer_norm_coors in ("LN", "BN")),
         "att_q": init_linear(ks[3], h_dim, h_dim, bias=False),
         "att_k": init_linear(ks[4], h_dim, h_dim, bias=False),
         "att_v": init_linear(ks[5], h_dim, h_dim, bias=False),
     }
-    if cfg.final_h_layer_norm in ("LN", "GN"):
+    if cfg.final_h_layer_norm in ("LN", "GN", "BN"):
         p["final_h_norm"] = init_layer_norm(out_dim)
     if fine_tune:
         k6, k7, k8, k9 = jax.random.split(ks[6], 4)
@@ -135,6 +148,41 @@ def init_docking_model(rng, cfg: ModelConfig, n_lays: Optional[int] = None) -> P
     return p
 
 
+def uses_batch_norm(cfg: ModelConfig) -> bool:
+    return "BN" in (cfg.layer_norm, cfg.layer_norm_coors,
+                    cfg.final_h_layer_norm)
+
+
+def init_bn_state(cfg: ModelConfig, n_lays: Optional[int] = None) -> dict:
+    """Running statistics for every BatchNorm site the config enables
+    ('BN' options of `args.py:72-75` / `rigid_docking_model.py:18-37`),
+    keyed "<stage>/<layer>/<mlp>". Empty dict when no option is 'BN'."""
+    n_lays = n_lays if n_lays is not None else cfg.iegmn_n_lays
+    in_dim = cfg.input_node_feats_dim
+    hid = cfg.iegmn_lay_hid_dim
+    st: dict = {}
+    stages = [("original/", n_lays)]
+    if cfg.fine_tune:
+        stages.append(("finetune/", 2))
+    for spfx, n in stages:
+        layers = [("layer0/", in_dim)]
+        if n > 1:
+            if cfg.shared_layers:
+                layers.append(("rest/", hid))
+            else:
+                layers += [(f"rest{i}/", hid) for i in range(n - 1)]
+        for lpfx, node_hid in layers:
+            scope = spfx + lpfx
+            if cfg.layer_norm == "BN":
+                st[scope + "edge_mlp"] = _init_bn_site(hid)
+                st[scope + "node_mlp"] = _init_bn_site(node_hid)
+            if cfg.layer_norm_coors == "BN":
+                st[scope + "coors_mlp"] = _init_bn_site(hid)
+            if cfg.final_h_layer_norm == "BN":
+                st[scope + "final_h"] = _init_bn_site(hid)
+    return st
+
+
 # --------------------------------------------------------------------------- #
 # Forward
 # --------------------------------------------------------------------------- #
@@ -151,7 +199,8 @@ def _rbf_of_sq_dist(x_rel: jnp.ndarray, enabled: bool) -> jnp.ndarray:
 
 
 def _edge_mlp_factored(p: Params, side: ProteinBatch, h_src, h_dst, he, rbf,
-                       cfg: ModelConfig, rng, train) -> jnp.ndarray:
+                       cfg: ModelConfig, rng, train,
+                       bn=None, bn_name=None) -> jnp.ndarray:
     """Edge MLP with `lin1(concat([h_src, h_dst, he, rbf]))` decomposed into
     per-term matmuls: `concat @ W == h_src @ W_a + h_dst @ W_b + he @ W_c +
     rbf @ W_d`. The `h @ W` products are computed once per NODE ((B,N,D)
@@ -176,7 +225,8 @@ def _edge_mlp_factored(p: Params, side: ProteinBatch, h_src, h_dst, he, rbf,
            + mm(he, W[2 * D:2 * D + E])
            + mm(rbf, W[2 * D + E:])
            + p["lin1"]["b"])
-    return _mlp2_tail(p, pre, cfg, cfg.layer_norm, rng, train)
+    return _mlp2_tail(p, pre, cfg, cfg.layer_norm, rng, train,
+                      bn, bn_name, side.nbr_mask[..., None])
 
 
 def iegmn_layer_forward(
@@ -195,6 +245,7 @@ def iegmn_layer_forward(
     src_r: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     attend=None,
     gn_axis: Optional[str] = None,
+    bn=None, bn_scope: str = "",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One IEGMN layer (`rigid_docking_model.py:189-352`), both proteins.
 
@@ -222,6 +273,42 @@ def iegmn_layer_forward(
                 value = jnp.where(mask > 0, value, -jnp.inf)
             stats[name] = jnp.max(value)
 
+    # Fused Pallas edge path: gathers, RBF, both edge MLPs and the segment
+    # means run in one VMEM-resident kernel (ops/pallas/edge_message.py);
+    # only (B, N, D) aggregates reach HBM. Covers the paper-model config.
+    use_fused_edge = (cfg.fused_edge_message and stats is None
+                      and cfg.nonlin == "lkyrelu"
+                      and (not train or cfg.dropout == 0.0)
+                      and cfg.layer_norm in ("LN", "0")
+                      and cfg.layer_norm_coors == "0")
+
+    def fused_edge(side: ProteinBatch, x, h, he, src):
+        from ..ops.pallas.edge_message import edge_message_aggregate
+
+        x_s, h_s = src if src is not None else (x, h)
+        ep, cp = p["edge_mlp"], p["coors_mlp"]
+        Dh = h.shape[-1]
+        E = he.shape[-1]
+        W = ep["lin1"]["w"]
+        mm = lambda a, w: jnp.einsum("...i,io->...o", a, w,
+                                     preferred_element_type=jnp.float32)
+        src_arr = jnp.concatenate([x_s, mm(h_s, W[:Dh])], axis=-1)
+        dst_arr = jnp.concatenate(
+            [x, mm(h, W[Dh:2 * Dh]) + ep["lin1"]["b"]], axis=-1)
+        Do = ep["lin2"]["w"].shape[0]
+        kparams = dict(
+            Wc=W[2 * Dh:2 * Dh + E], Wd=W[2 * Dh + E:],
+            ln_g=ep["ln"]["g"] if "ln" in ep else jnp.ones((Do,), jnp.float32),
+            ln_b=ep["ln"]["b"] if "ln" in ep else jnp.zeros((Do,), jnp.float32),
+            W2=ep["lin2"]["w"], b2=ep["lin2"]["b"],
+            W1c=cp["lin1"]["w"], b1c=cp["lin1"]["b"],
+            W2c=cp["lin2"]["w"], b2c=cp["lin2"]["b"])
+        interp = jax.default_backend() == "cpu"
+        return edge_message_aggregate(
+            src_arr, dst_arr, he, side.nbr, side.nbr_mask, kparams,
+            slope=cfg.leakyrelu_neg_slope, use_ln=cfg.layer_norm == "LN",
+            use_dist=cfg.use_dist_in_layers, interpret=interp)
+
     def edge_messages(side: ProteinBatch, x, h, he, rng_, src):
         x_s, h_s = src if src is not None else (x, h)
         x_src = gather_neighbors(x_s, side.nbr)                # (B,N,K,3)
@@ -229,21 +316,27 @@ def iegmn_layer_forward(
         rbf = _rbf_of_sq_dist(x_rel, cfg.use_dist_in_layers)
         if cfg.factored_edge_mlp:
             msg = _edge_mlp_factored(p["edge_mlp"], side, h_s, h, he, rbf, cfg,
-                                     rng_, train)
+                                     rng_, train, bn, bn_scope + "edge_mlp")
         else:
             h_src = gather_neighbors(h_s, side.nbr)            # (B,N,K,D)
             h_dst = jnp.broadcast_to(h[:, :, None, :],
                                      h_src.shape[:-1] + (h.shape[-1],))
             msg_in = jnp.concatenate([h_src, h_dst, he, rbf], axis=-1)
-            msg = _mlp2(p["edge_mlp"], msg_in, cfg, cfg.layer_norm, rng_, train)
+            msg = _mlp2(p["edge_mlp"], msg_in, cfg, cfg.layer_norm, rng_,
+                        train, bn, bn_scope + "edge_mlp",
+                        side.nbr_mask[..., None])
         return x_rel, msg
 
-    x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0], src_l)
-    x_rel_r, msg_r = edge_messages(rec, x_r, h_r, he_r, rngs[1], src_r)
-    rec_stat("x_now", x_l, lig.node_mask[..., None])
-    rec_stat("h_feat", h_l, lig.node_mask[..., None])
-    rec_stat("x_rel", x_rel_l, lig.nbr_mask[..., None])
-    rec_stat("msg", msg_l, lig.nbr_mask[..., None])
+    if use_fused_edge:
+        aggr_l, xupd_l = fused_edge(lig, x_l, h_l, he_l, src_l)
+        aggr_r, xupd_r = fused_edge(rec, x_r, h_r, he_r, src_r)
+    else:
+        x_rel_l, msg_l = edge_messages(lig, x_l, h_l, he_l, rngs[0], src_l)
+        x_rel_r, msg_r = edge_messages(rec, x_r, h_r, he_r, rngs[1], src_r)
+        rec_stat("x_now", x_l, lig.node_mask[..., None])
+        rec_stat("h_feat", h_l, lig.node_mask[..., None])
+        rec_stat("x_rel", x_rel_l, lig.nbr_mask[..., None])
+        rec_stat("msg", msg_l, lig.nbr_mask[..., None])
 
     # Cross attention mu_i (`rigid_docking_model.py:244-256`)
     def qk(h):
@@ -274,17 +367,28 @@ def iegmn_layer_forward(
     rec_stat("aggr_cross_msg", cross_l, lig.node_mask[..., None])
 
     # Coordinate update (`rigid_docking_model.py:263-292`)
-    def coord_update(side: ProteinBatch, x, x_rel, msg, orig_x, rng_):
-        coef = _mlp2(p["coors_mlp"], msg, cfg, cfg.layer_norm_coors, rng_, train)
-        x_moment = x_rel * coef                                # (B,N,K,3)
-        x_upd = masked_mean_over_k(x_moment, side.nbr_mask)
+    def apply_x_update(x, orig_x, x_upd):
         return (cfg.x_connection_init * orig_x
                 + (1.0 - cfg.x_connection_init) * x
                 + x_upd)
 
-    x_final_l = coord_update(lig, x_l, x_rel_l, msg_l, orig_x_l, rngs[2])
-    x_final_r = coord_update(rec, x_r, x_rel_r, msg_r, orig_x_r, rngs[3])
-    rec_stat("x_final", x_final_l, lig.node_mask[..., None])
+    def coord_update(side: ProteinBatch, x, x_rel, msg, orig_x, rng_):
+        coef = _mlp2(p["coors_mlp"], msg, cfg, cfg.layer_norm_coors, rng_,
+                     train, bn, bn_scope + "coors_mlp",
+                     side.nbr_mask[..., None])
+        x_moment = x_rel * coef                                # (B,N,K,3)
+        return apply_x_update(x, orig_x,
+                              masked_mean_over_k(x_moment, side.nbr_mask))
+
+    if use_fused_edge:
+        x_final_l = apply_x_update(x_l, orig_x_l, xupd_l)
+        x_final_r = apply_x_update(x_r, orig_x_r, xupd_r)
+    else:
+        aggr_l = masked_mean_over_k(msg_l, lig.nbr_mask)
+        aggr_r = masked_mean_over_k(msg_r, rec.nbr_mask)
+        x_final_l = coord_update(lig, x_l, x_rel_l, msg_l, orig_x_l, rngs[2])
+        x_final_r = coord_update(rec, x_r, x_rel_r, msg_r, orig_x_r, rngs[3])
+        rec_stat("x_final", x_final_l, lig.node_mask[..., None])
 
     if fine_tune:
         # (`rigid_docking_model.py:294-310`)
@@ -305,10 +409,10 @@ def iegmn_layer_forward(
         x_final_r = x_final_r + ft_v(h_r) * (x_r - att_x_r)
 
     # Feature update (`rigid_docking_model.py:319-349`)
-    def node_update(side: ProteinBatch, h, msg, cross, orig_h, rng_):
-        aggr = masked_mean_over_k(msg, side.nbr_mask)
+    def node_update(side: ProteinBatch, h, aggr, cross, orig_h, rng_):
         upd_in = jnp.concatenate([h, aggr, cross, orig_h], axis=-1)
-        upd = _mlp2(p["node_mlp"], upd_in, cfg, cfg.layer_norm, rng_, train)
+        upd = _mlp2(p["node_mlp"], upd_in, cfg, cfg.layer_norm, rng_, train,
+                    bn, bn_scope + "node_mlp", side.node_mask[..., None])
         if skip:
             upd = cfg.skip_weight_h * upd + (1.0 - cfg.skip_weight_h) * h
         if cfg.final_h_layer_norm == "LN":
@@ -316,10 +420,21 @@ def iegmn_layer_forward(
         elif cfg.final_h_layer_norm == "GN":
             upd = graph_norm(p["final_h_norm"], upd, side.node_mask,
                              axis=gn_axis)
+        elif cfg.final_h_layer_norm == "BN":
+            if bn is None:
+                raise ValueError(
+                    "final_h_layer_norm='BN' needs running statistics: pass "
+                    "bn_state (models.iegmn.init_bn_state) into "
+                    "docking_forward")
+            # one shared module for both node types, ligand normalized first
+            # (`rigid_docking_model.py:150,348-349`) — the chained BNContext
+            # reads reproduce the two sequential running-stat updates
+            upd = bn(bn_scope + "final_h", p["final_h_norm"], upd,
+                     side.node_mask[..., None])
         return upd
 
-    h_final_l = node_update(lig, h_l, msg_l, cross_l, orig_h_l, rngs[4])
-    h_final_r = node_update(rec, h_r, msg_r, cross_r, orig_h_r, rngs[5])
+    h_final_l = node_update(lig, h_l, aggr_l, cross_l, orig_h_l, rngs[4])
+    h_final_r = node_update(rec, h_r, aggr_r, cross_r, orig_h_r, rngs[5])
     rec_stat("h_final", h_final_l, lig.node_mask[..., None])
 
     return x_final_l, h_final_l, x_final_r, h_final_r
@@ -334,13 +449,16 @@ def iegmn_forward(
     fine_tune: bool,
     rng=None, train: bool = False,
     trace: Optional[list] = None,
+    bn=None, bn_scope: str = "",
 ):
     """IEGMN trunk + keypoint head (`rigid_docking_model.py:451-602`).
 
     Returns (R (B,3,3), t (B,1,3), keypts_lig (B,H,3), keypts_rec (B,H,3)).
     `x_l_in` is the current ligand coordinate frame ('new_x'). When `trace` is
     a list, one dict of labelled activation maxima is appended per layer
-    (the reference's `-debug` logging, SURVEY §5 tracing).
+    (the reference's `-debug` logging, SURVEY §5 tracing). `bn` is the
+    `BNContext` when any norm option is 'BN' (forces the unrolled layer loop
+    so running statistics chain through repeated applications).
     """
     lig, rec = batch.lig, batch.rec
     orig_x_l, orig_x_r = x_l_in, rec.x
@@ -363,7 +481,8 @@ def iegmn_forward(
     x_l, h_l, x_r, h_r = iegmn_layer_forward(
         p["layer0"], cfg, fine_tune, False, lig, rec, x_l, h_l, x_r, h_r,
         orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
-        rng=lrng0, train=train, stats=layer0_stats)
+        rng=lrng0, train=train, stats=layer0_stats,
+        bn=bn, bn_scope=bn_scope + "layer0/")
     if trace is not None:
         trace.append(layer0_stats)
 
@@ -371,18 +490,23 @@ def iegmn_forward(
     # params so the layer body is traced/compiled once regardless of depth.
     if n_lays > 1:
         rest = p["rest"]
-        if trace is not None:
-            # debug path: unrolled so per-layer labelled stats stay dicts
+        if trace is not None or bn is not None:
+            # unrolled: per-layer labelled stat dicts (debug path) and/or
+            # sequentially-chained BatchNorm running statistics
             for i in range(1, n_lays):
                 lp = rest if cfg.shared_layers else jax.tree.map(
                     lambda x: x[i - 1], rest)
+                scope = (bn_scope + "rest/" if cfg.shared_layers
+                         else bn_scope + f"rest{i - 1}/")
                 lrng = jax.random.fold_in(rng, i) if rng is not None else None
-                layer_stats: dict = {}
+                layer_stats: Optional[dict] = {} if trace is not None else None
                 x_l, h_l, x_r, h_r = iegmn_layer_forward(
                     lp, cfg, fine_tune, True, lig, rec, x_l, h_l, x_r, h_r,
                     orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
-                    rng=lrng, train=train, stats=layer_stats)
-                trace.append(layer_stats)
+                    rng=lrng, train=train, stats=layer_stats,
+                    bn=bn, bn_scope=scope)
+                if trace is not None:
+                    trace.append(layer_stats)
         else:
             def body(carry, scanned):
                 x_l, h_l, x_r, h_r = carry
@@ -456,32 +580,42 @@ def docking_forward(
     n_lays: Optional[int] = None,
     rng=None, train: bool = False,
     debug: bool = False,
+    bn_state: Optional[dict] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Rigid_Body_Docking_Net forward (`rigid_docking_model.py:642-692`).
 
     Returns dict with:
       ligand_coords (B, N_l, 3) — predicted (R x + t) of the input ligand,
       keypts_lig / keypts_rec (B, H, 3), R (B, 3, 3), t (B, 1, 3);
-      plus "trace" (per-layer activation-stat dicts) when debug=True.
+      plus "trace" (per-layer activation-stat dicts) when debug=True and
+      "bn_updates" (new running statistics, train only) when `bn_state` is
+      given (required iff any norm option is 'BN'; see `init_bn_state`).
     """
     n_lays = n_lays if n_lays is not None else cfg.iegmn_n_lays
+    if uses_batch_norm(cfg) and bn_state is None:
+        raise ValueError(
+            "config uses 'BN' normalization: pass bn_state="
+            "init_bn_state(cfg) (TrainState.bn_state carries it)")
+    bn = BNContext(bn_state, train) if bn_state is not None else None
     trace: Optional[list] = [] if debug else None
     x_l = batch.lig.x
     if cfg.fine_tune and "finetune" in p:
         R0, t0, _, _ = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
                                      fine_tune=False, rng=rng, train=train,
-                                     trace=trace)
+                                     trace=trace, bn=bn, bn_scope="original/")
         x_l = apply_rigid(x_l, R0, t0)
         R, t, kl, kr = iegmn_forward(p["finetune"], cfg, batch, x_l, 2,
                                      fine_tune=True, rng=rng, train=train,
-                                     trace=trace)
+                                     trace=trace, bn=bn, bn_scope="finetune/")
     else:
         R, t, kl, kr = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
                                      fine_tune=False, rng=rng, train=train,
-                                     trace=trace)
+                                     trace=trace, bn=bn, bn_scope="original/")
     lig_pred = apply_rigid(x_l, R, t)
     out = {"ligand_coords": lig_pred, "keypts_lig": kl, "keypts_rec": kr,
            "R": R, "t": t}
     if debug:
         out["trace"] = trace
+    if bn is not None and train:
+        out["bn_updates"] = {**bn.state, **bn.updates}
     return out

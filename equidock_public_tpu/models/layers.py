@@ -51,6 +51,74 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
 
 
+def init_bn_state(dim: int) -> Params:
+    """Running statistics of a BatchNorm1d site (torch defaults: mean 0,
+    var 1)."""
+    return {"mean": jnp.zeros((dim,), jnp.float32),
+            "var": jnp.ones((dim,), jnp.float32)}
+
+
+def batch_norm(p: Params, st: Params, x: jnp.ndarray,
+               mask: Optional[jnp.ndarray], train: bool,
+               momentum: float = 0.1, eps: float = 1e-5):
+    """BatchNorm1d semantics (`rigid_docking_model.py:18-20`, the reference's
+    'BN' option for `layer_norm` / `final_h_layer_norm`): per-feature stats
+    over every (valid) row. The reference feeds exact unpadded edge/node rows;
+    here `mask` (broadcastable to x[..., :1]) restricts the statistics to
+    valid rows so padding never biases them.
+
+    Matches torch's train/eval split: train normalizes by the BIASED batch
+    variance and folds the UNBIASED one into the running var with momentum
+    0.1; eval normalizes by the running statistics. Returns (out, new_state);
+    state flows through the step as non-gradient aux (see train/step.py).
+    """
+    affine = lambda y: y * p["g"] + p["b"]
+    if not train:
+        return (affine((x - st["mean"])
+                       * jax.lax.rsqrt(st["var"] + eps)), st)
+    feat_axes = tuple(range(x.ndim - 1))
+    if mask is None:
+        mean = jnp.mean(x, axis=feat_axes)
+        var = jnp.mean((x - mean) ** 2, axis=feat_axes)
+        n = jnp.asarray(x.size // x.shape[-1], jnp.float32)
+    else:
+        w = jnp.broadcast_to(mask, x.shape[:-1] + (1,))
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(x * w, axis=feat_axes) / n
+        var = jnp.sum(((x - mean) ** 2) * w, axis=feat_axes) / n
+    out = affine((x - mean) * jax.lax.rsqrt(var + eps))
+    unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+    new_st = {
+        "mean": (1.0 - momentum) * st["mean"] + momentum * mean,
+        "var": (1.0 - momentum) * st["var"] + momentum * unbiased,
+    }
+    new_st = jax.tree.map(jax.lax.stop_gradient, new_st)
+    return out, new_st
+
+
+class BNContext:
+    """Threads BatchNorm running statistics through a functional forward.
+
+    The forward mutates no state; each BN site reads its current statistics
+    (chained across repeated applications — shared layers apply the same
+    module, and so the same state, several times per pass, exactly like the
+    reference's shared `nn.BatchNorm1d`) and records the update in
+    `self.updates`, which the caller returns as an aux output of the jitted
+    step and folds back into `TrainState.bn_state`."""
+
+    def __init__(self, state: Params, train: bool):
+        self.state = state
+        self.train = train
+        self.updates: Params = {}
+
+    def __call__(self, name: str, p: Params, x, mask):
+        cur = self.updates.get(name, self.state[name])
+        out, new = batch_norm(p, cur, x, mask, self.train)
+        if self.train:
+            self.updates[name] = new
+        return out
+
+
 def init_embedding(rng, num: int, dim: int) -> Params:
     return {"e": jax.random.normal(rng, (num, dim), jnp.float32)}
 

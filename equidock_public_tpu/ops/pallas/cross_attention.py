@@ -1,12 +1,14 @@
-"""Fused masked cross-attention Pallas kernel.
+"""Fused masked cross-attention Pallas kernel, blocked over BOTH axes.
 
 The ligand<->receptor cross-attention (`rigid_docking_model.py:46-64`;
 ops/attention.py XLA path) materializes a (B, N, M) logit matrix in HBM —
 for DIPS-scale complexes (N, M up to ~3K, bs 10) that is hundreds of MB of
-HBM traffic per layer. This kernel blocks over the query axis, keeps K/V
-resident in VMEM, and fuses mask + softmax + both matmuls; the logit matrix
-never leaves VMEM. A custom VJP runs the backward as a second fused kernel
-(dK/dV accumulated across query blocks in VMEM).
+HBM traffic per layer. This kernel blocks over the query axis AND the key
+axis (flash-attention-style online softmax with VMEM-resident running
+max/sum/accumulator), so VMEM residency is O(BLOCK_N x BLOCK_M) regardless of
+complex size — no upper bound on M beyond HBM itself. A custom VJP runs the
+backward as two fused kernels (dQ accumulating over key blocks; dK/dV over
+query blocks), each with the safe consecutive-revisit accumulator pattern.
 
 Logit convention matches the reference exactly:
     a = mask * (q . k) - 1000 * (1 - mask),  softmax over M.
@@ -16,7 +18,6 @@ Padded-but-unmasked rows produce the same values as the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,53 +25,92 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_N = 128
+BLOCK_M = 512
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref):
+# --------------------------------------------------------------------------- #
+# Forward: grid (B, N/BN, M/BM), online softmax over the M axis
+# --------------------------------------------------------------------------- #
+
+def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
+                m_s, l_s, acc_s):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
     q = q_ref[0]                       # (BN, D)
-    k = k_ref[0]                       # (M, D)
-    v = v_ref[0]                       # (M, Dv)
+    k = k_ref[0]                       # (BM, D)
+    v = v_ref[0]                       # (BM, Dv)
     qm = qm_ref[0]                     # (BN, 1)
-    km = km_ref[0]                     # (M, 1)
+    km = km_ref[0]                     # (BM, 1)
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)       # (BN, M)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)       # (BN, BM)
     mask = qm * km.T
     a = mask * s - 1000.0 * (1.0 - mask)
-    m = jnp.max(a, axis=-1, keepdims=True)
-    e = jnp.exp(a - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = (jnp.dot(e, v, preferred_element_type=jnp.float32) / l
-                ).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
+    m_old = m_s[:]
+    m_new = jnp.maximum(m_old, jnp.max(a, axis=-1, keepdims=True))
+    corr = jnp.exp(m_old - m_new)
+    e = jnp.exp(a - m_new)
+    m_s[:] = m_new
+    l_s[:] = l_s[:] * corr + jnp.sum(e, axis=-1, keepdims=True)
+    acc_s[:] = acc_s[:] * corr + jnp.dot(e, v,
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0] = (acc_s[:] / l_s[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_s[:] + jnp.log(l_s[:])
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref):
-    i = pl.program_id(1)
+# --------------------------------------------------------------------------- #
+# Backward. delta = rowsum(do * o) is computed outside (one cheap XLA op).
+#   dQ kernel:  grid (B, N/BN, M/BM) — dq accumulates over consecutive j.
+#   dKV kernel: grid (B, M/BM, N/BN) — dk/dv accumulate over consecutive i.
+# --------------------------------------------------------------------------- #
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, lse_ref, do_ref,
+                   delta_ref, dq_ref):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    qm, km = qm_ref[0], km_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    mask = qm * km.T
+    a = mask * s - 1000.0 * (1.0 - mask)
+    w = jnp.exp(a - lse_ref[0])                                    # (BN, BM)
+    dw = jnp.dot(do_ref[0], v.T, preferred_element_type=jnp.float32)
+    ds = w * (dw - delta_ref[0]) * mask
+    dq_ref[0] += jnp.dot(ds, k, preferred_element_type=jnp.float32
+                         ).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, lse_ref, do_ref,
+                    delta_ref, dk_ref, dv_ref):
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    qm = qm_ref[0]                     # (BN, 1)
-    km = km_ref[0]                     # (M, 1)
-    o = o_ref[0]
-    lse = lse_ref[0]                   # (BN, 1)
-    do = do_ref[0]
-
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    qm, km = qm_ref[0], km_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     mask = qm * km.T
     a = mask * s - 1000.0 * (1.0 - mask)
-    w = jnp.exp(a - lse)                                           # (BN, M)
+    w = jnp.exp(a - lse_ref[0])
+    do = do_ref[0]
     dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)                # rowsum(dw*w)
-    ds = w * (dw - delta) * mask                                   # d logits * d a/d s
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32
-                        ).astype(dq_ref.dtype)
+    ds = w * (dw - delta_ref[0]) * mask
     dk_ref[0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32
                          ).astype(dk_ref.dtype)
     dv_ref[0] += jnp.dot(w.T, do, preferred_element_type=jnp.float32
@@ -86,61 +126,86 @@ def _pad_n(x, n, axis, value=0.0):
 def _fwd_call(q, k, v, q_mask, k_mask, interpret):
     B, N, D = q.shape
     M, Dv = k.shape[1], v.shape[2]
-    grid = (B, N // BLOCK_N)
+    grid = (B, N // BLOCK_N, M // BLOCK_M)
     # masks travel as (B, N, 1): Mosaic requires the last two block dims to be
     # (8k, 128k) or full-size, which plain (B, N) blocks violate
     o, lse = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_N, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, M, Dv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, M, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, BLOCK_N, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_M, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_M, Dv), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_M, 1), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, Dv), q.dtype),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_N, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_N, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_N, Dv), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, q_mask[..., None], k_mask[..., None])
     return o, lse
 
 
-def _bwd_call(q, k, v, q_mask, k_mask, o, lse, do, interpret):
+def _bwd_call(q, k, v, q_mask, k_mask, lse, do, delta, interpret):
     B, N, D = q.shape
     M, Dv = k.shape[1], v.shape[2]
-    grid = (B, N // BLOCK_N)
-    dq, dk, dv = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
+    qm = q_mask[..., None]
+    km = k_mask[..., None]
+
+    dq, = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid=(B, N // BLOCK_N, M // BLOCK_M),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_N, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, M, Dv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, M, 1), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_M, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_M, Dv), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_M, 1), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, Dv), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_N, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, M, Dv), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, BLOCK_N, D), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, N, D), q.dtype)],
+        interpret=interpret,
+    )(q, k, v, qm, km, lse, do, delta)
+
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid=(B, M // BLOCK_M, N // BLOCK_N),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_N, D), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_M, D), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_M, Dv), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_M, 1), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, Dv), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_N, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_M, D), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_M, Dv), lambda b, j, i: (b, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, D), q.dtype),
             jax.ShapeDtypeStruct((B, M, D), q.dtype),
             jax.ShapeDtypeStruct((B, M, Dv), q.dtype),
         ],
         interpret=interpret,
-    )(q, k, v, q_mask[..., None], k_mask[..., None], o, lse, do)
+    )(q, k, v, qm, km, lse, do, delta)
     return dq, dk, dv
 
 
@@ -148,7 +213,7 @@ def _bwd_call(q, k, v, q_mask, k_mask, o, lse, do, interpret):
 def cross_attention_fused(q, k, v, q_mask, k_mask, interpret=False):
     """Fused masked cross-attention: drop-in for
     `ops.attention.cross_attention` (cross_msgs=True). Inputs are padded to
-    BLOCK_N multiples internally; the semantics are identical because padded
+    block multiples internally; the semantics are identical because padded
     queries/keys carry zero mask."""
     o, _ = _fwd_wrapped(q, k, v, q_mask, k_mask, interpret)
     return o
@@ -158,7 +223,7 @@ def _fwd_wrapped(q, k, v, q_mask, k_mask, interpret):
     N = q.shape[1]
     M = k.shape[1]
     Np = pl.cdiv(N, BLOCK_N) * BLOCK_N
-    Mp = pl.cdiv(M, BLOCK_N) * BLOCK_N
+    Mp = pl.cdiv(M, BLOCK_M) * BLOCK_M
     qp = _pad_n(q, Np, 1)
     kp = _pad_n(k, Mp, 1)
     vp = _pad_n(v, Mp, 1)
@@ -176,7 +241,8 @@ def _vjp_fwd(q, k, v, q_mask, k_mask, interpret):
 def _vjp_bwd(interpret, res, do):
     qp, kp, vp, qmp, kmp, o, lse, N, M = res
     dop = _pad_n(do, o.shape[1], 1)
-    dq, dk, dv = _bwd_call(qp, kp, vp, qmp, kmp, o, lse, dop, interpret)
+    delta = jnp.sum(dop * o, axis=-1, keepdims=True)
+    dq, dk, dv = _bwd_call(qp, kp, vp, qmp, kmp, lse, dop, delta, interpret)
     return (dq[:, :N], dk[:, :M], dv[:, :M],
             jnp.zeros_like(qmp[:, :N]), jnp.zeros_like(kmp[:, :M]))
 

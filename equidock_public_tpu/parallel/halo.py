@@ -483,7 +483,9 @@ def make_halo_train_step(cfg: Config, mesh: Mesh):
 
     fwd = make_halo_forward(cfg, mesh)
 
-    def halo_loss_fn(params, cfg_, hb: HaloBatch, rng, train: bool):
+    def halo_loss_fn(params, cfg_, hb: HaloBatch, rng, train: bool,
+                     bn_state=()):
+        assert not bn_state, "BN norm options are not supported in the halo path"
         out = fwd(params, hb)
         loss, metrics = total_loss(out, hb.pair, cfg_.train)
         return loss, (metrics, out)

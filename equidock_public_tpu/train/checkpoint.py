@@ -54,6 +54,8 @@ def save_checkpoint(path: str, state: TrainState, cfg: Config, epoch: int) -> No
         "step": state.step,
         "epoch": np.asarray(epoch, np.int32),
     }
+    if state.bn_state:
+        payload["bn_state"] = state.bn_state
     if os.path.exists(path):
         import shutil
 
@@ -77,6 +79,8 @@ def load_checkpoint(path: str, template: Optional[TrainState] = None
             "params": template.params, "opt_state": template.opt_state,
             "step": template.step, "epoch": np.asarray(0, np.int32),
         }
+        if template.bn_state:
+            tmpl["bn_state"] = template.bn_state
         payload = ckpt.restore(path, tmpl)
     else:
         # Device-agnostic restore: the checkpoint may have been written on a

@@ -99,7 +99,7 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
             sums[k] = sums.get(k, 0.0) + float(metrics[k])
         num_clips += int(float(metrics["clipped"]))
         if rng.uniform() < cfg.train.train_rmsd_fraction:
-            out = eval_step(state.params, batch, cfg)
+            out = eval_step(state.params, batch, cfg, state.bn_state)
             meter.update_batch(batch, np.asarray(out["ligand_coords"]))
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")
@@ -118,7 +118,7 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
 
 
 def run_eval_epoch(params, ds: DockingDataset, cfg: Config,
-                   rng: np.random.Generator) -> Dict[str, float]:
+                   rng: np.random.Generator, bn_state=()) -> Dict[str, float]:
     """Eval epoch (`run_an_eval_epoch`, train.py:220-236): no shuffle/swap, but
     each call still draws a fresh random SE(3) pose per complex (the reference's
     `__getitem__` augmentation, db5_data.py:195-204) — which is why the val
@@ -127,7 +127,7 @@ def run_eval_epoch(params, ds: DockingDataset, cfg: Config,
     sums: Dict[str, float] = {}
     num_batches = 0
     for batch in ds.batches(rng, shuffle=False):
-        out = eval_step(params, batch, cfg)
+        out = eval_step(params, batch, cfg, bn_state)
         num_batches += 1
         for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
             sums[k] = sums.get(k, 0.0) + float(out[k])
@@ -192,7 +192,8 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log,
                                     lr_scale=lr_scale)
         key = jax.random.fold_in(key, epoch + 1)
-        reps = [run_eval_epoch(state.params, val_ds, cfg, rng)
+        reps = [run_eval_epoch(state.params, val_ds, cfg, rng,
+                                state.bn_state)
                 for _ in range(max(cfg.train.val_repeats, 1))]
         va = {k: float(np.mean([r[k] for r in reps])) for k in reps[0]}
         if plateau is not None:
@@ -246,8 +247,8 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     if os.path.exists(ckpt_path):
         payload, _, _ = load_checkpoint(ckpt_path, state)
         state = TrainState(payload["params"], payload["opt_state"],
-                           payload["step"])
-    te = run_eval_epoch(state.params, test_ds, cfg, rng)
+                           payload["step"], payload.get("bn_state", ()))
+    te = run_eval_epoch(state.params, test_ds, cfg, rng, state.bn_state)
     log(f"[FINAL TEST {cfg.data.data}] crmsd med {te['complex_rmsd_median']:.4f} "
         f"mean {te['complex_rmsd_mean']:.4f} loss {te['loss']:.4f}")
     return state

@@ -16,7 +16,7 @@ import optax
 
 from ..config import Config
 from ..graph import PairBatch
-from ..models.iegmn import docking_forward
+from ..models.iegmn import docking_forward, init_bn_state, uses_batch_norm
 from .losses import total_loss
 from .optim import make_optimizer
 
@@ -25,16 +25,22 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # BatchNorm running statistics ('BN' norm options) — non-gradient state
+    # updated from the forward's aux output; empty dict otherwise.
+    bn_state: Any = ()
 
 
 def create_train_state(params, cfg: Config) -> TrainState:
     opt = make_optimizer(cfg.train)
+    bn = init_bn_state(cfg.model) if uses_batch_norm(cfg.model) else ()
     return TrainState(params=params, opt_state=opt.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32), bn_state=bn)
 
 
-def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool):
-    out = docking_forward(params, cfg.model, batch, rng=rng, train=train)
+def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool,
+            bn_state=()):
+    out = docking_forward(params, cfg.model, batch, rng=rng, train=train,
+                          bn_state=bn_state if bn_state else None)
     loss, metrics = total_loss(out, batch, cfg.train)
     return loss, (metrics, out)
 
@@ -54,16 +60,18 @@ def step_body(
     optimizer/telemetry identical."""
     opt = make_optimizer(cfg.train)
     fn = loss_fn_ if loss_fn_ is not None else loss_fn
-    (loss, (metrics, _)), grads = jax.value_and_grad(fn, has_aux=True)(
-        state.params, cfg, batch, rng, True)
+    (loss, (metrics, out)), grads = jax.value_and_grad(fn, has_aux=True)(
+        state.params, cfg, batch, rng, True, state.bn_state)
     gnorm = optax.global_norm(grads)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     updates = jax.tree.map(lambda u: u * lr_scale, updates)
     params = optax.apply_updates(state.params, updates)
+    bn_state = out.get("bn_updates", state.bn_state) \
+        if isinstance(out, dict) else state.bn_state
     metrics = dict(metrics)
     metrics["grad_norm"] = gnorm
     metrics["clipped"] = (gnorm > cfg.train.clip).astype(jnp.float32)
-    return TrainState(params, opt_state, state.step + 1), metrics
+    return TrainState(params, opt_state, state.step + 1, bn_state), metrics
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -75,8 +83,10 @@ def train_step(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def eval_step(params, batch: PairBatch, cfg: Config) -> Dict[str, jnp.ndarray]:
-    out = docking_forward(params, cfg.model, batch, rng=None, train=False)
+def eval_step(params, batch: PairBatch, cfg: Config,
+              bn_state=()) -> Dict[str, jnp.ndarray]:
+    out = docking_forward(params, cfg.model, batch, rng=None, train=False,
+                          bn_state=bn_state if bn_state else None)
     _, metrics = total_loss(out, batch, cfg.train)
     metrics = dict(metrics)
     metrics["ligand_coords"] = out["ligand_coords"]

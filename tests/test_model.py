@@ -262,3 +262,79 @@ def test_factored_edge_mlp_matches_concat_path(rng):
         denom = np.linalg.norm(a) * np.linalg.norm(b)
         if denom > 1e-8:
             assert np.dot(a, b) / denom > 0.999
+
+
+def test_batch_norm_matches_torch(rng):
+    """`layers.batch_norm` == torch BatchNorm1d through 3 chained train steps
+    (running-stat momentum semantics) and the subsequent eval step; padded
+    rows excluded via the mask never bias the statistics."""
+    import torch
+
+    from equidock_public_tpu.models.layers import batch_norm, init_bn_state
+
+    D, n_valid, n_pad = 16, 37, 11
+    p = {"g": jnp.asarray(rng.standard_normal(D).astype(np.float32)),
+         "b": jnp.asarray(rng.standard_normal(D).astype(np.float32))}
+    st = init_bn_state(D)
+    # explicit dtype: test_reference_parity flips torch's default to float64
+    # at import time, which pytest does during collection
+    tb = torch.nn.BatchNorm1d(D, dtype=torch.float32)
+    with torch.no_grad():
+        tb.weight.copy_(torch.from_numpy(np.asarray(p["g"])))
+        tb.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
+    tb.train()
+
+    for step in range(3):
+        rows = rng.standard_normal((n_valid, D)).astype(np.float32)
+        ref = tb(torch.from_numpy(rows)).detach().numpy()
+        x = np.concatenate([rows, np.full((n_pad, D), 1e6, np.float32)])
+        mask = np.concatenate([np.ones((n_valid, 1), np.float32),
+                               np.zeros((n_pad, 1), np.float32)])
+        out, st = batch_norm(p, st, jnp.asarray(x), jnp.asarray(mask), True)
+        np.testing.assert_allclose(np.asarray(out)[:n_valid], ref,
+                                   rtol=1e-4, atol=1e-4, err_msg=f"step{step}")
+    np.testing.assert_allclose(np.asarray(st["mean"]),
+                               tb.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st["var"]),
+                               tb.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+    tb.eval()
+    rows = rng.standard_normal((n_valid, D)).astype(np.float32)
+    ref = tb(torch.from_numpy(rows)).detach().numpy()
+    out, st2 = batch_norm(p, st, jnp.asarray(rows), None, False)
+    assert st2 is st
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_model_with_bn_trains_and_evals(rng):
+    """'BN' norm options (`args.py:72-75` / `rigid_docking_model.py:18-37`):
+    a train step must return finite loss AND advance the running statistics;
+    eval must consume them (different stats -> different outputs)."""
+    import dataclasses
+
+    from equidock_public_tpu.models.iegmn import (init_bn_state,
+                                                  init_docking_model)
+    from equidock_public_tpu.train.step import (create_train_state, eval_step,
+                                                train_step)
+    from .utils import synth_batch, tiny_config
+
+    cfg = tiny_config(layer_norm="BN", final_h_layer_norm="BN",
+                      layer_norm_coors="BN")
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    state = create_train_state(params, cfg)
+    assert set(state.bn_state) == set(init_bn_state(cfg.model))
+    batch = synth_batch(rng)
+
+    st0 = jax.tree.map(np.asarray, state.bn_state)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1), cfg)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+        state.bn_state, st0)
+    assert max(jax.tree.leaves(moved)) > 1e-4   # stats advanced
+
+    out_new = eval_step(state.params, batch, cfg, state.bn_state)
+    out_init = eval_step(state.params, batch, cfg,
+                         jax.tree.map(jnp.asarray, st0))
+    assert np.isfinite(float(out_new["loss"]))
+    assert abs(float(out_new["loss"]) - float(out_init["loss"])) > 0

@@ -52,6 +52,112 @@ def test_fused_cross_attention_backward(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_fused_cross_attention_outlier_sizes(rng):
+    """M beyond one key block (BLOCK_M=512) and not a block multiple: the
+    online-softmax M-blocking must keep fwd+bwd exact for arbitrarily large
+    complexes (the largest configured bucket is 3072; VMEM residency is
+    O(BLOCK_N x BLOCK_M) regardless)."""
+    q, k, v, qm, km = _inputs(rng, B=2, N=96, M=1219, D=16)
+
+    ref = cross_attention(q, k, v, qm, km)
+    got = cross_attention_fused(q, k, v, qm, km, True)
+    w = np.asarray(qm)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * w, np.asarray(ref) * w,
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v, qm, km) ** 2 * qm[..., None])
+        return f
+
+    g_ref = jax.grad(loss(cross_attention), argnums=(0, 1, 2))(q, k, v)
+    g_fused = jax.grad(
+        loss(lambda *a: cross_attention_fused(*a, True)),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_fused_edge_message_matches_xla_layer(rng):
+    """Full IEGMN layer with the fused edge-message kernel == the XLA layer
+    (same params; the kernel fuses gathers, RBF, both edge MLPs and the
+    segment means — reference hot loop rigid_docking_model.py:226-283)."""
+    import dataclasses
+
+    from equidock_public_tpu.models.iegmn import (init_docking_model,
+                                                  iegmn_layer_forward)
+    from .utils import synth_batch, tiny_config
+
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    lp = params["original"]["layer0"]
+    B, N = 2, 128
+    batch = synth_batch(rng, B=B, N_l=N, N_r=N, n_l=N - 5, n_r=N - 9,
+                        coord_scale=50.0)
+    D = cfg.model.input_node_feats_dim
+    h_l = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    h_r = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+
+    def run(mc):
+        return iegmn_layer_forward(
+            lp, mc, False, False, batch.lig, batch.rec,
+            batch.lig.x, h_l, batch.rec.x, h_r, h_l, h_r,
+            batch.lig.edge_feat, batch.rec.edge_feat,
+            batch.lig.x, batch.rec.x)
+
+    ref = run(cfg.model)
+    fused_cfg = dataclasses.replace(cfg.model, fused_edge_message=True)
+    got = run(fused_cfg)
+    for lbl, a, b in zip(["x_l", "h_l", "x_r", "h_r"], ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4, err_msg=lbl)
+
+
+def test_fused_edge_message_backward(rng):
+    """Gradients of the fused kernel (custom VJP through the XLA reference
+    recompute) == gradients of the pure XLA expression."""
+    from equidock_public_tpu.ops.pallas.edge_message import (
+        _reference, edge_message_aggregate)
+
+    B, N, K, D, E = 2, 64, 4, 16, 27
+    src = jnp.asarray(rng.standard_normal((B, N, 3 + D)).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal((B, N, 3 + D)).astype(np.float32))
+    he = jnp.asarray(rng.standard_normal((B, N, K, E)).astype(np.float32))
+    nbr = jnp.asarray(rng.integers(0, N, (B, N, K)).astype(np.int32))
+    msk = jnp.asarray((rng.uniform(size=(B, N, K)) > 0.2).astype(np.float32))
+    params = dict(
+        Wc=rng.standard_normal((E, D)).astype(np.float32) * 0.1,
+        Wd=rng.standard_normal((15, D)).astype(np.float32) * 0.1,
+        ln_g=np.ones(D, np.float32), ln_b=np.zeros(D, np.float32),
+        W2=rng.standard_normal((D, D)).astype(np.float32) * 0.1,
+        b2=np.zeros(D, np.float32),
+        W1c=rng.standard_normal((D, D)).astype(np.float32) * 0.1,
+        b1c=np.zeros(D, np.float32),
+        W2c=rng.standard_normal((D, 1)).astype(np.float32) * 0.1,
+        b2c=np.zeros(1, np.float32))
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+
+    def loss_f(fn):
+        def f(src, dst, params):
+            a, x = fn(src, dst, params)
+            return jnp.sum(a ** 2) + jnp.sum(x ** 2)
+        return f
+
+    ref_fn = loss_f(lambda s, d, p: _reference(s, d, he, nbr, msk, p,
+                                               0.01, True, True))
+    fus_fn = loss_f(lambda s, d, p: edge_message_aggregate(
+        s, d, he, nbr, msk, p, slope=0.01, use_ln=True, use_dist=True,
+        interpret=True))
+
+    v_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2))(src, dst, params)
+    v_fus, g_fus = jax.value_and_grad(fus_fn, argnums=(0, 1, 2))(src, dst, params)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_model_with_fused_attention_matches_xla(rng):
     """Full model forward with the fused kernel == XLA path."""
     import dataclasses
