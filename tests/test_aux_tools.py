@@ -113,3 +113,59 @@ def test_step_timer():
             pass
     assert len(t.times) == 3
     assert t.mean() >= 0.0
+
+
+def test_partition_dips_on_synthetic_pairs(tmp_path, monkeypatch, capsys):
+    """`cli.partition_dips` on a synthetic atom3-layout tree: the atom-count
+    filter and the family-directory split must follow the reference's rules
+    (`partition_dips.py:22-24,45`: keep pairs with BOTH proteins under
+    max_atom_count; split by family dir, last 40 shuffled -> 20 val+20 test)."""
+    import os
+    import sys
+    import types
+
+    import pandas as pd
+
+    from equidock_public_tpu.cli.partition_dips import main
+
+    data = tmp_path / "pairs"
+    n_fam = 44
+    big = {("fam03", "p1"), ("fam17", "p0")}       # these exceed the cap
+    expected_kept = []
+    for fi in range(n_fam):
+        fam = f"fam{fi:02d}"
+        (data / fam).mkdir(parents=True)
+        for pi in range(2):
+            name = f"p{pi}.dill"
+            n0 = 60 if (fam, f"p{pi}") in big else 10
+            pair = types.SimpleNamespace(
+                df0=pd.DataFrame({"x": range(n0)}),
+                df1=pd.DataFrame({"x": range(12)}))
+            pd.to_pickle(pair, data / fam / name)
+            if n0 < 50:
+                expected_kept.append(os.path.join(fam, name))
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "partition_dips", "-data_dir", str(data), "-out_dir", str(out),
+        "-max_atom_count", "50", "-seed", "3"])
+    main()
+
+    def lines(p):
+        return [l for l in (out / p).read_text().splitlines() if l]
+
+    assert sorted(lines("pairs-postprocessed.txt")) == sorted(expected_kept)
+    tr = lines("pairs-postprocessed-train.txt")
+    va = lines("pairs-postprocessed-val.txt")
+    te = lines("pairs-postprocessed-test.txt")
+    assert sorted(tr + va + te) == sorted(expected_kept)
+    fam = lambda ls: {l.split(os.sep)[0] for l in ls}
+    assert not fam(tr) & fam(va) and not fam(tr) & fam(te) \
+        and not fam(va) & fam(te)                  # family-disjoint splits
+    assert len(fam(va)) == 20 and len(fam(te)) == 20
+    assert len(fam(tr)) == n_fam - 40
+
+    # re-run: the existing pairs-postprocessed.txt is reused, not rescanned
+    main()
+    assert "skipping scan" in capsys.readouterr().out
+    assert sorted(lines("pairs-postprocessed.txt")) == sorted(expected_kept)
