@@ -22,7 +22,93 @@ import time
 import numpy as np
 
 
+def epoch_bench(mode: str):
+    """Real-epoch throughput: a full cached-data training epoch end-to-end —
+    host collate + device transfer (prefetch thread) + jitted train step —
+    NOT a fixed synthetic batch. `mode` is 'db5' (the real cached DB5.5 train
+    split, 203 complexes) or 'dips' (synthetic cache with sizes resampled
+    from the 100 frozen DIPS test complexes — the closest available sample of
+    the unmounted 42K-pair corpus; see data/synth.py). Also reports the
+    padding waste the bucket policy paid this epoch (VERDICT item 6).
+    """
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath("./jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from equidock_public_tpu.data.dataset import DockingDataset
+    from equidock_public_tpu.models.iegmn import init_docking_model
+    from equidock_public_tpu.train.loop import prefetch_to_device
+    from equidock_public_tpu.train.step import create_train_state, train_step
+    from equidock_public_tpu.utils.padding import waste_report
+
+    if mode == "db5":
+        from equidock_public_tpu.config import Config
+
+        cfg = Config.db5_paper_model()
+        ds = DockingDataset(cfg, "train")
+    else:
+        from equidock_public_tpu.config import Config
+        from equidock_public_tpu.data.synth import (dips_testset_sizes,
+                                                    write_synth_split)
+
+        cfg = Config.dips_paper_model()
+        n_pairs = int(os.environ.get("BENCH_PAIRS", "200"))
+        base = dips_testset_sizes(
+            "/root/reference/test_sets_pdb/dips_test_random_transformed")
+        rs = np.random.default_rng(7)
+        sizes = [base[i] for i in rs.integers(0, len(base), n_pairs)]
+        path = write_synth_split("/tmp/bench_dips_cache/train.npz", sizes,
+                                 seed=7)
+        ds = DockingDataset(cfg, "train", cache_path=path)
+    if os.environ.get("BENCH_FACTORED", "1") not in ("", "0"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, factored_edge_mlp=True))
+    ds.cfg = cfg
+
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    state = create_train_state(params, cfg)
+    key = jax.random.PRNGKey(1)
+
+    def one_epoch(state, key, seed):
+        rng = np.random.default_rng(seed)
+        n = 0
+        for batch in prefetch_to_device(ds.batches(rng, shuffle=True)):
+            key, sub = jax.random.split(key)
+            state, m = train_step(state, batch, sub, cfg)
+            n += 1
+        jax.block_until_ready(m["loss"])
+        return state, key, n
+
+    state, key, _ = one_epoch(state, key, seed=0)   # compile epoch
+    t0 = time.perf_counter()
+    state, key, n_batches = one_epoch(state, key, seed=1)
+    dt = time.perf_counter() - t0
+
+    sizes_lr = [(s.lig.num_nodes, s.rec.num_nodes) for s in ds.samples]
+    waste = waste_report(sizes_lr, cfg.data.node_buckets, cfg.train.bs)
+    pairs_per_s = len(ds) / dt
+    baseline = 25.0
+    print(json.dumps({
+        "metric": f"{mode}_epoch_pairs_per_s",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / baseline, 3),
+        "epoch_s": round(dt, 2),
+        "pairs": len(ds),
+        "batches": n_batches,
+        "padding_waste_pct": round(waste["waste_pct"], 1),
+        "distinct_shapes": waste["distinct_shapes"],
+    }))
+
+
 def main():
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode in ("db5_epoch", "dips_epoch"):
+        return epoch_bench(mode.split("_")[0])
     import jax
 
     # persistent compile cache: repeated bench/train runs skip the (expensive)

@@ -133,14 +133,18 @@ def build_cache(cfg: Config, split: str, log=print) -> str:
 class DockingDataset:
     """Loads a cached split and yields augmented, padded PairBatches."""
 
-    def __init__(self, cfg: Config, split: str, swap: Optional[bool] = None):
+    def __init__(self, cfg: Config, split: str, swap: Optional[bool] = None,
+                 cache_path: Optional[str] = None):
+        """`cache_path` overrides the derived cache location — used to load
+        synthetic caches (data.synth) for benchmarking without a mounted
+        corpus."""
         self.cfg = cfg
-        if cfg.data.data == "dips":
+        if cfg.data.data == "dips" and cache_path is None:
             from .dips import load_dips_shards
 
             self.samples, self.codes = load_dips_shards(cfg, split)
         else:
-            path = os.path.join(cfg.cache_path(), f"{split}.npz")
+            path = cache_path or os.path.join(cfg.cache_path(), f"{split}.npz")
             z = np.load(path, allow_pickle=False)
             self.codes = list(z["codes"])
             self.samples = []
