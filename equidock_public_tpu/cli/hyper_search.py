@@ -9,6 +9,8 @@ import argparse
 import dataclasses
 import os
 import random
+import subprocess
+import sys
 
 from ..config import Config, ModelConfig, TrainConfig
 from ..train.loop import fit, make_logger
@@ -42,6 +44,39 @@ def sample_config(base: Config, rng: random.Random) -> Config:
     return dataclasses.replace(base, model=model, train=train)
 
 
+def _trial_cmd(a: argparse.Namespace, cfg: Config) -> list:
+    """Child `cli.train` command reproducing the sampled config. Each trial
+    runs in a FRESH process: repeated in-process trials accumulate jit-cache
+    executables (every trial's Config is a distinct static argument) and
+    TPU-client state that is never released — a multi-trial search was
+    observed growing to ~90 GB RSS before the OOM killer ended it."""
+    m, t = cfg.model, cfg.train
+    cmd = [sys.executable, "-m", "equidock_public_tpu.cli.train",
+           "-dropout", str(m.dropout), "-iegmn_n_lays", str(m.iegmn_n_lays),
+           "-skip_weight_h", str(m.skip_weight_h),
+           "-x_connection_init", str(m.x_connection_init),
+           "-w_decay", str(t.w_decay),
+           "-intersection_loss_weight", str(t.intersection_loss_weight),
+           "-pocket_ot_loss_weight", str(t.pocket_ot_loss_weight),
+           "-lr", str(t.lr), "-bs", str(t.bs),
+           "-patience", str(t.patience), "-random_seed", str(t.random_seed),
+           "-val_repeats", str(t.val_repeats), "-data", a.data,
+           "-data_fraction", str(a.data_fraction),
+           "-cache_dir", a.cache_dir, "-checkpoint_dir", a.checkpoint_dir,
+           "-compile_cache", a.compile_cache, "-toy"]
+    if m.shared_layers:
+        cmd.append("-shared_layers")
+    if a.node_buckets:
+        cmd += ["-node_buckets", a.node_buckets]
+    if a.pocket_buckets:
+        cmd += ["-pocket_buckets", a.pocket_buckets]
+    if a.max_epochs is not None:
+        cmd += ["-max_epochs", str(a.max_epochs)]
+    if a.max_seconds is not None:
+        cmd += ["-max_seconds", str(a.max_seconds)]
+    return cmd
+
+
 def main():
     p = argparse.ArgumentParser(description="Random hyperparameter search")
     add_config_args(p)
@@ -50,13 +85,11 @@ def main():
     p.add_argument("-max_seconds", type=float, default=None,
                    help="wall-clock budget per trial")
     p.add_argument("-compile_cache", default="./jax_cache")
+    p.add_argument("-in_process", action="store_true",
+                   help="run trials in this process instead of a fresh "
+                        "subprocess each (debugging only — leaks memory "
+                        "across trials; see _trial_cmd)")
     a = p.parse_args()
-    if a.compile_cache:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(a.compile_cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     base = config_from_args(a)
     rng = random.Random(a.random_seed)
 
@@ -71,6 +104,17 @@ def main():
         if cfg is None:
             print("No hyperparams available !! Exiting ...")
             return
+        if not a.in_process:
+            print(f"=== hyper-search trial {trial}: {cfg.banner()}",
+                  flush=True)
+            r = subprocess.run(_trial_cmd(a, cfg))
+            print(f"=== trial {trial} exit={r.returncode}", flush=True)
+            continue
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(a.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         log = make_logger(cfg)
         log(f"=== hyper-search trial {trial}: {cfg.banner()}")
         fit(cfg, max_epochs=a.max_epochs, log=log, max_seconds=a.max_seconds)

@@ -607,11 +607,22 @@ def docking_forward(
         R, t, kl, kr = iegmn_forward(p["finetune"], cfg, batch, x_l, 2,
                                      fine_tune=True, rng=rng, train=train,
                                      trace=trace, bn=bn, bn_scope="finetune/")
+        lig_pred = apply_rigid(x_l, R, t)
+        # Return the COMPOSED transform so (R, t) always maps the ORIGINAL
+        # input ligand to `ligand_coords`: x2 = R(R0 x + t0) + t
+        # = (R R0) x + (R t0 + t). The reference returns only the stage-2
+        # (R, t) (`rigid_docking_model.py:683-686`), which is inconsistent
+        # with its own inference assert `R@CA+t == output`
+        # (`inference_rigid.py:202-203`) — that assert would fail on any
+        # fine_tune checkpoint; composing fixes inference for FT models.
+        R2, t2 = R, t
+        R = jnp.einsum("bij,bjk->bik", R2, R0)
+        t = jnp.einsum("bij,bnj->bni", R2, t0) + t2
     else:
         R, t, kl, kr = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
                                      fine_tune=False, rng=rng, train=train,
                                      trace=trace, bn=bn, bn_scope="original/")
-    lig_pred = apply_rigid(x_l, R, t)
+        lig_pred = apply_rigid(x_l, R, t)
     out = {"ligand_coords": lig_pred, "keypts_lig": kl, "keypts_rec": kr,
            "R": R, "t": t}
     if debug:

@@ -162,6 +162,18 @@ def test_graph_norm_and_fine_tune_paths(rng):
     R = np.asarray(out["R"])
     eye = np.broadcast_to(np.eye(3), R.shape)
     np.testing.assert_allclose(R @ R.transpose(0, 2, 1), eye, atol=1e-3)
+    # the returned (R, t) must be the COMPOSED two-stage transform: applying
+    # it to the ORIGINAL ligand reproduces ligand_coords (the property the
+    # inference CLI asserts, `inference_rigid.py:202-203`; the reference
+    # itself returns only the stage-2 transform, which breaks that assert
+    # for fine_tune checkpoints)
+    t = np.asarray(out["t"])
+    x = np.asarray(batch.lig.x)
+    mask = np.asarray(batch.lig.node_mask)[..., None]
+    recon = np.einsum("bij,bnj->bni", R, x) + t
+    np.testing.assert_allclose(recon * mask,
+                               np.asarray(out["ligand_coords"]) * mask,
+                               atol=1e-2)
 
 
 def test_graph_norm_matches_reference_semantics(rng):
