@@ -19,16 +19,26 @@ import numpy as np
 
 def synth_graph(rng: np.random.Generator, n: int, k: int = 10) -> dict:
     """One protein in the npz-cache key layout (random features; coordinates
-    drawn at protein-like density so distances/RBFs are in-range)."""
+    drawn at protein-like density so distances/RBFs are in-range).
+
+    The neighbor table is a real kNN graph of the synthetic coordinates —
+    NOT uniformly random indices — because spatial locality is what real
+    residue graphs have (`protein_utils.py:311-363`) and what halo-exchange
+    partitioning and gather-locality measurements depend on; random tables
+    would be an adversarial, unrepresentative graph topology."""
+    x = (rng.standard_normal((n, 3)) * (2.0 * n ** (1 / 3))).astype(np.float32)
+    kk = min(k, n)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nbr = np.argsort(d2, axis=1)[:, :kk].astype(np.int32)
     return {
         "res_id": rng.integers(0, 21, (n,)).astype(np.int32),
-        "x": (rng.standard_normal((n, 3)) * (2.0 * n ** (1 / 3))
-              ).astype(np.float32),
+        "x": x,
         "mu_r_norm": (np.abs(rng.standard_normal((n, 5))) + 0.5
                       ).astype(np.float32),
-        "nbr": rng.integers(0, n, (n, min(k, n))).astype(np.int32),
-        "nbr_mask": np.ones((n, min(k, n)), np.float32),
-        "edge_feat": rng.standard_normal((n, min(k, n), 27)).astype(np.float32),
+        "nbr": nbr,
+        "nbr_mask": np.ones((n, kk), np.float32),
+        "edge_feat": rng.standard_normal((n, kk, 27)).astype(np.float32),
     }
 
 
