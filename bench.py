@@ -67,6 +67,13 @@ def epoch_bench(mode: str):
     if os.environ.get("BENCH_FACTORED", "1") not in ("", "0"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, factored_edge_mlp=True))
+    if os.environ.get("BENCH_BUCKETS"):
+        # e.g. BENCH_BUCKETS=512,1024,2048,3072 aligns the epoch's shape set
+        # with the training CLI's coarse tunnel buckets (PERF.md bucket-policy
+        # section) so persistent-cache compiles are reused
+        bk = tuple(int(x) for x in os.environ["BENCH_BUCKETS"].split(","))
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, node_buckets=bk))
     ds.cfg = cfg
 
     params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
@@ -150,6 +157,13 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            dtype=os.environ["BENCH_DTYPE"]))
+    # BENCH_FUSED_EDGE=1: fused Pallas edge-message+segment-mean kernel
+    # (ops/pallas/edge_message.py) in place of the factored XLA path — the
+    # VERDICT item-5 A/B; see PERF.md for the keep/reject decision.
+    if os.environ.get("BENCH_FUSED_EDGE", "0") not in ("", "0"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fused_edge_message=True,
+                                           factored_edge_mlp=False))
     rng = np.random.default_rng(0)
     batch = _tiny_batch(rng, B=B, N_l=N, N_r=N)
 

@@ -75,6 +75,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-intersection_surface_ct", type=float, default=10.0)
     p.add_argument("-random_seed", type=int, default=8)
     p.add_argument("-val_repeats", type=int, default=1)
+    p.add_argument("-ot_solver", default="sinkhorn",
+                   choices=["sinkhorn", "exact"],
+                   help="'exact' = scipy-LP host callback with the "
+                        "reference's true EMD semantics (slow; A/B arm for "
+                        "validating the on-device Sinkhorn default)")
     # graph (args.py:44-55)
     p.add_argument("-graph_cutoff", type=float, default=30.0)
     p.add_argument("-graph_max_neighbor", type=int, default=10)
@@ -133,7 +138,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             random_seed=a.random_seed, scheduler=a.scheduler,
             save_every_epochs=a.save_every_epochs,
             use_fused_intersection=a.use_fused_intersection,
-            val_repeats=a.val_repeats),
+            val_repeats=a.val_repeats, ot_solver=a.ot_solver),
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,

@@ -103,7 +103,10 @@ class TrainConfig:
     random_seed: int = 8
     # OT solver (replaces POT's exact network simplex, `ot_utils.py:22-29`):
     # the reference detaches the transport plan, so a converged Sinkhorn plan
-    # reproduces the gradient semantics.
+    # reproduces the gradient semantics. 'exact' routes through a scipy-LP
+    # host callback with the reference's true solver semantics — slow; the
+    # A/B arm for validating the on-device default (RESULTS.md OT evidence).
+    ot_solver: str = "sinkhorn"      # 'sinkhorn' | 'exact'
     sinkhorn_epsilon: float = 0.01
     sinkhorn_iters: int = 200
     # Metering: fraction of train batches whose RMSD is measured (train.py:136).

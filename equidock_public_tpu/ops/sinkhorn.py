@@ -91,3 +91,57 @@ def pocket_ot_loss(
                         epsilon=epsilon, iters=iters)
     plan = jax.lax.stop_gradient(plan)
     return jnp.sum(plan * cost, axis=(1, 2))
+
+
+def exact_emd_plan_host(cost, row_mask):
+    """Exact EMD transport plans on the host (numpy in, numpy out).
+
+    The gold standard the Sinkhorn solver approximates: the same exact linear
+    program the reference's `ot.emd` network simplex solves
+    (`ot_utils.py:26`), here via scipy HiGHS per complex. Padded rows carry
+    zero mass. Used (a) as the A/B arm validating that Sinkhorn-trained runs
+    are training-equivalent, (b) by the offline gap study
+    (scripts/ot_gap_val.py)."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    cost = np.asarray(cost, np.float64)
+    row_mask = np.asarray(row_mask)
+    B, P, K = cost.shape
+    plans = np.zeros((B, P, K), np.float32)
+    for b in range(B):
+        valid = np.flatnonzero(row_mask[b] > 0)
+        n = valid.size
+        if n == 0:
+            continue
+        c = cost[b, valid]                                   # (n, K)
+        # marginal constraints: rows sum to 1/n, columns to 1/K. Drop one
+        # (redundant) constraint so the LP system has full rank.
+        A_eq = np.zeros((n + K - 1, n * K))
+        b_eq = np.empty(n + K - 1)
+        for i in range(n):
+            A_eq[i, i * K:(i + 1) * K] = 1.0
+            b_eq[i] = 1.0 / n
+        for j in range(K - 1):
+            A_eq[n + j, j::K] = 1.0
+            b_eq[n + j] = 1.0 / K
+        res = linprog(c.ravel(), A_eq=A_eq, b_eq=b_eq, bounds=(0, None),
+                      method="highs")
+        assert res.status == 0, f"exact EMD LP failed: {res.message}"
+        plans[b, valid] = res.x.reshape(n, K).astype(np.float32)
+    return plans
+
+
+def pocket_ot_loss_exact(cost: jnp.ndarray,
+                         pocket_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-complex exact-EMD OT distance (B,) via a host callback — the
+    reference's actual solver semantics (`ot_utils.py:22-29`: exact plan on
+    CPU, detached, gradient through the cost only). Slow (device->host->device
+    round trip per step, like the reference's GPU->CPU detour); exists as the
+    A/B arm for validating the on-device Sinkhorn default."""
+    plan = jax.pure_callback(
+        exact_emd_plan_host,
+        jax.ShapeDtypeStruct(cost.shape, jnp.float32),
+        jax.lax.stop_gradient(cost), pocket_mask,
+        vmap_method="sequential")
+    return jnp.sum(jax.lax.stop_gradient(plan) * cost, axis=(1, 2))

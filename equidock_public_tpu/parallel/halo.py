@@ -445,9 +445,16 @@ def make_halo_forward(cfg: Config, mesh: Mesh):
             R0, t0, _, _ = stage(params["original"], hb, x_l, n_lays, False)
             x_l = apply_rigid(x_l, R0, t0)
             R, t, kl, kr = stage(params["finetune"], hb, x_l, 2, True)
+            lig_pred = apply_rigid(x_l, R, t)
+            # Compose the two stages so (R, t) maps the ORIGINAL input
+            # ligand to `ligand_coords` — same convention as the dense
+            # `docking_forward` (models/iegmn.py, fine-tune branch).
+            R2, t2 = R, t
+            R = jnp.einsum("bij,bjk->bik", R2, R0)
+            t = jnp.einsum("bij,bnj->bni", R2, t0) + t2
         else:
             R, t, kl, kr = stage(params["original"], hb, x_l, n_lays, False)
-        lig_pred = apply_rigid(x_l, R, t)
+            lig_pred = apply_rigid(x_l, R, t)
         return {"ligand_coords": lig_pred, "keypts_lig": kl,
                 "keypts_rec": kr, "R": R, "t": t}
 

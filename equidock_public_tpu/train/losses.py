@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from ..config import TrainConfig
 from ..graph import PairBatch
 from ..ops.intersection import body_intersection_loss
-from ..ops.sinkhorn import pocket_ot_loss, sq_dist_mat
+from ..ops.sinkhorn import pocket_ot_loss, pocket_ot_loss_exact, sq_dist_mat
 
 
 def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
@@ -41,8 +41,12 @@ def total_loss(
 
     cost = (sq_dist_mat(batch.pocket_lig, outputs["keypts_lig"])
             + sq_dist_mat(batch.pocket_rec, outputs["keypts_rec"]))
-    ot = pocket_ot_loss(cost, batch.pocket_mask,
-                        epsilon=tc.sinkhorn_epsilon, iters=tc.sinkhorn_iters)
+    if tc.ot_solver == "exact":
+        ot = pocket_ot_loss_exact(cost, batch.pocket_mask)
+    else:
+        ot = pocket_ot_loss(cost, batch.pocket_mask,
+                            epsilon=tc.sinkhorn_epsilon,
+                            iters=tc.sinkhorn_iters)
 
     if tc.use_fused_intersection:
         import jax

@@ -149,6 +149,37 @@ def test_sinkhorn_matches_exact_emd(rng):
         assert approx >= exact - 1e-3
 
 
+def test_exact_emd_callback_matches_lp_and_is_differentiable(rng):
+    """pocket_ot_loss_exact (host-callback LP, the reference's true solver
+    semantics `ot_utils.py:22-29`): objective <= Sinkhorn's (it is exact),
+    within blur distance of it, and gradient flows through the cost."""
+    from equidock_public_tpu.ops.sinkhorn import (pocket_ot_loss,
+                                                  pocket_ot_loss_exact)
+
+    B, P, K = 3, 7, 4
+    cost = jnp.asarray((rng.uniform(size=(B, P, K)) * 10).astype(np.float32))
+    mask = np.ones((B, P), np.float32)
+    mask[2, 5:] = 0
+    mask = jnp.asarray(mask)
+
+    exact = np.asarray(pocket_ot_loss_exact(cost, mask))
+    approx = np.asarray(pocket_ot_loss(cost, mask, epsilon=0.002, iters=500))
+    # note Sinkhorn can land slightly BELOW exact: its plan satisfies the
+    # row marginals only approximately, so the two objectives are compared
+    # by relative gap, not ordering
+    np.testing.assert_allclose(exact, approx, rtol=0.02)
+
+    # gradient flows through the cost (plan detached), also under jit
+    g = jax.jit(jax.grad(
+        lambda c: jnp.sum(pocket_ot_loss_exact(c, mask))))(cost)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+    # d<plan,cost>/dcost with plan detached == plan itself: row sums 1/n
+    n = 5
+    np.testing.assert_allclose(g[2, :n].sum(), 1.0, atol=1e-4)
+    assert np.abs(g[2, n:]).sum() < 1e-6
+
+
 def test_pocket_ot_loss_gradient_only_through_cost(rng):
     """The plan must be detached (`ot_utils.py:27-28`): gradient of
     <plan, cost> w.r.t. keypoints == plan-weighted cost gradient."""
