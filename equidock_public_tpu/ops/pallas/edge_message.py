@@ -56,9 +56,22 @@ def _kernel(src_ref, dst_ref, he_ref, nbr_ref, msk_ref,
     idx = nbr_ref[0][:, 0]                 # (T*K,) int32 source rows
     msk = msk_ref[0]                       # (T*K, 1)
 
-    gath = jnp.take(src, idx, axis=0)      # (T*K, 3+D) THE gather
-    # row t*K+k = dst row t (pltpu.repeat would TILE, not repeat per row)
+    # THE gather: Mosaic lowers lax.gather only in take_along_axis form
+    # (indices.shape == operand.shape + (1,), gather along dim 0, batched
+    # over dim 1 -> tpu.dynamic_gather). Pad rows of both operand and
+    # indices to a common G, broadcast the row index across columns, and
+    # slice the (T*K, C) result back out.
     C = dst.shape[-1]
+    TK = idx.shape[0]
+    G = max(src.shape[0], TK)
+    src_g = src if src.shape[0] == G else jnp.concatenate(
+        [src, jnp.zeros((G - src.shape[0], C), src.dtype)], axis=0)
+    idx_g = idx if TK == G else jnp.concatenate(
+        [idx, jnp.zeros((G - TK,), idx.dtype)], axis=0)
+    gath = jnp.take_along_axis(
+        src_g, jnp.broadcast_to(idx_g[:, None], (G, C)), axis=0,
+        mode="promise_in_bounds")[:TK]     # (T*K, 3+D)
+    # row t*K+k = dst row t (pltpu.repeat would TILE, not repeat per row)
     dstr = jnp.broadcast_to(dst[:, None, :], (T, K, C)).reshape(T * K, C)
 
     x_rel = gath[:, :3] - dstr[:, :3]
