@@ -15,7 +15,12 @@ COMMON="-toy -data db5 -data_fraction 0.3 -bs 5 -max_epochs 10 -patience 100
         -compile_cache ./jax_cache_cpu"
 
 run() {  # $1 = solver name
-  JAX_PLATFORMS=cpu timeout 14400 python -m equidock_public_tpu.cli.train \
+  # env -u PALLAS_AXON_POOL_IPS is REQUIRED: with it set, the axon
+  # sitecustomize registers the remote-TPU plugin and kernel_env pins
+  # JAX_PLATFORMS=axon, so a bare JAX_PLATFORMS=cpu prefix still lands on
+  # the (single-client!) TPU tunnel.
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    timeout 14400 python -m equidock_public_tpu.cli.train \
     $COMMON -ot_solver "$1" -checkpoint_dir "/tmp/ab_$1" \
     > "results/ot_ab/$1.log" 2>&1
   echo "[ot_ab] $1 exit=$?" >> results/ot_ab/status.log
