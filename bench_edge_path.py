@@ -157,16 +157,22 @@ def main():
                                           side.nbr_mask, kparams,
                                           interpret=interpret)
 
-        f = jax.jit(fused_path)
-        t = timeit(f, side.x, h, side.edge_feat)
-        flops = (2 * B * N * D * D * 2                 # node projections
-                 + Egs * 2 * (E + R) * D               # he/rbf matmuls
-                 + Egs * 2 * D * D                     # lin2
-                 + Egs * 2 * D * D + Egs * 2 * D)      # coors mlp
-        bytes_ = (2 * B * N * (3 + D) * F32            # src/dst arrays read
-                  + Egs * E * F32                      # he read
-                  + B * N * (D + 3) * F32)             # aggr + x_upd out
-        rows.append({"N": N, **row("edge_fused_pallas_fwd", t, flops, bytes_)})
+        try:
+            f = jax.jit(fused_path)
+            t = timeit(f, side.x, h, side.edge_feat)
+            flops = (2 * B * N * D * D * 2             # node projections
+                     + Egs * 2 * (E + R) * D           # he/rbf matmuls
+                     + Egs * 2 * D * D                 # lin2
+                     + Egs * 2 * D * D + Egs * 2 * D)  # coors mlp
+            bytes_ = (Egs * (3 + D) * F32              # XLA-gathered edge rows
+                      + B * N * (3 + D) * F32          # dst arrays read
+                      + Egs * E * F32                  # he read
+                      + B * N * (D + 3) * F32)         # aggr + x_upd out
+            rows.append({"N": N,
+                         **row("edge_fused_pallas_fwd", t, flops, bytes_)})
+        except Exception as e:  # one failing path must not kill the table
+            rows.append({"N": N, "op": "edge_fused_pallas_fwd",
+                         "error": str(e).split("\n")[0][:200]})
 
         # 4) segment mean alone ((B,N,K,D) -> (B,N,D)): pure HBM streaming
         msg = jnp.asarray(rng.standard_normal((B, N, K, D)).astype(np.float32))

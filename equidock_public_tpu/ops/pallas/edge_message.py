@@ -8,15 +8,26 @@ The reference hot loop (`rigid_docking_model.py:226-283`) per layer and side:
     aggr_msg = mean_k(msg);  x_upd = mean_k(x_rel * coef)
 
 The XLA factored path (models/iegmn.py::_edge_mlp_factored) already avoids
-the concat, but still materializes the (B, N, K, D) pre-activation, msg and
-coef tensors in HBM between fusions. This kernel keeps ALL per-edge tensors in
-VMEM: inputs are the per-NODE arrays (x, h@W_src, h@W_dst + b — two (N,D)x(D,D)
-matmuls done outside, which is the factored trick) plus the static per-edge
-features; per node-block it gathers source rows, builds the RBF, runs both
-MLPs on the MXU and reduces over K — only the (B, N, D) aggregate and
-(B, N, 3) coordinate update ever touch HBM.
+the concat, but still materializes the (B, N, K, D) pre-activation, msg, c1
+and coef tensors in HBM between the per-edge matmuls. This kernel keeps all
+of those in VMEM: the neighbor gather itself runs OUTSIDE the kernel as a
+plain XLA gather (Mosaic's tpu.dynamic_gather cannot cross vregs along the
+gather dim, so an in-kernel gather from a (N, C) table is a dead end — the
+first version of this kernel failed TPU compile exactly there); the kernel
+consumes the pre-gathered per-edge rows and fuses RBF construction, the
+two-layer edge MLP, LayerNorm, the coors MLP and both masked segment means.
 
-The gather source array is an explicit input, so the halo path can pass its
+TPU-shape tricks (all Mosaic-friendly: iota, compare, matmul — no reshape,
+concat, gather or transpose inside the kernel):
+  * dst-row broadcast to edges:   dstr = P @ dst,  P[j,t] = (t*K <= j < t*K+K)
+  * segment mean over K:          aggr = (Q @ (msg*msk)) / max(Q @ msk, 1),
+                                  Q = P^T built by a second iota (no transpose)
+  * the 15 RBF sigmas:            1.5**(-lane_iota) instead of a captured
+                                  constant vector / 15-way lane concat.
+P and Q are 0/1 matrices built from 2D iota in-register; the expand/reduce
+ride the MXU (tiny-K matmuls) instead of Mosaic relayouts.
+
+The gather source is an explicit input, so the halo path can pass its
 [local | halo] buffer — this kernel is the "local aggregation" half of the
 exchange/compute overlap design (PERF.md).
 
@@ -30,7 +41,6 @@ layer_norm_coors='0', dropout=0.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,70 +48,71 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RBF_SIGMAS = tuple(1.5 ** x for x in range(15))  # rigid_docking_model.py:116
-BLOCK_T = 128           # destination nodes per grid step
+N_RBF = len(RBF_SIGMAS)
+import os as _os
+BLOCK_T = int(_os.environ.get("EDGE_BLOCK_T", "64"))  # dst nodes / grid step
 
 
 def _leaky(x, slope):
     return jnp.where(x >= 0, x, x * slope)
 
 
-def _kernel(src_ref, dst_ref, he_ref, nbr_ref, msk_ref,
+def _kernel(gx_ref, gh_ref, dx_ref, dh_ref, he_ref, msk_ref,
             Wc_ref, Wd_ref, lng_ref, lnb_ref, W2_ref, b2_ref,
             W1c_ref, b1c_ref, W2c_ref, b2c_ref,
             aggr_ref, xupd_ref, *, K, slope, use_ln, use_dist):
-    T = dst_ref.shape[1]
-    src = src_ref[0]                       # (Nsrc, 3+D) gather source
-    dst = dst_ref[0]                       # (T, 3+D): [x | h@W_dst + b1]
-    he = he_ref[0]                         # (T*K, E)
-    idx = nbr_ref[0][:, 0]                 # (T*K,) int32 source rows
+    T = dx_ref.shape[1]
+    TK = gx_ref.shape[1]
+    gx = gx_ref[0]                         # (T*K, 3) gathered source coords
+    gh = gh_ref[0]                         # (T*K, D) gathered h@W_src
+    dx = dx_ref[0]                         # (T, 3) destination coords
+    dh = dh_ref[0]                         # (T, D) h@W_dst + b1
+    he = he_ref[0]                         # (T*K, E) static edge feats
     msk = msk_ref[0]                       # (T*K, 1)
 
-    # THE gather: Mosaic lowers lax.gather only in take_along_axis form
-    # (indices.shape == operand.shape + (1,), gather along dim 0, batched
-    # over dim 1 -> tpu.dynamic_gather). Pad rows of both operand and
-    # indices to a common G, broadcast the row index across columns, and
-    # slice the (T*K, C) result back out.
-    C = dst.shape[-1]
-    TK = idx.shape[0]
-    G = max(src.shape[0], TK)
-    src_g = src if src.shape[0] == G else jnp.concatenate(
-        [src, jnp.zeros((G - src.shape[0], C), src.dtype)], axis=0)
-    idx_g = idx if TK == G else jnp.concatenate(
-        [idx, jnp.zeros((G - TK,), idx.dtype)], axis=0)
-    gath = jnp.take_along_axis(
-        src_g, jnp.broadcast_to(idx_g[:, None], (G, C)), axis=0,
-        mode="promise_in_bounds")[:TK]     # (T*K, 3+D)
-    # row t*K+k = dst row t (pltpu.repeat would TILE, not repeat per row)
-    dstr = jnp.broadcast_to(dst[:, None, :], (T, K, C)).reshape(T * K, C)
+    # Expansion matrix P (TK, T): row j hits column j // K. Built with
+    # multiply+compare (no integer division) so Mosaic lowers it in-register.
+    jj = jax.lax.broadcasted_iota(jnp.int32, (TK, T), 0)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (TK, T), 1)
+    P = ((jj >= tt * K) & (jj < tt * K + K)).astype(jnp.float32)
+    # Reduction matrix Q = P^T, built directly (in-kernel transpose relayouts).
+    tt2 = jax.lax.broadcasted_iota(jnp.int32, (T, TK), 0)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (T, TK), 1)
+    Q = ((jj2 >= tt2 * K) & (jj2 < tt2 * K + K)).astype(jnp.float32)
 
-    x_rel = gath[:, :3] - dstr[:, :3]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    # The P/Q expand/reduce matmuls are pure selection/summation — run them
+    # at HIGHEST precision so the MXU's default bf16 passes don't round the
+    # coordinates/messages they merely route (observed 6e-3 abs error at
+    # default precision on v5e; exact at HIGHEST).
+    sel = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    dxr = sel(P, dx)                       # (T*K, 3) dst coords per edge
+    dhr = sel(P, dh)                       # (T*K, D)
+
+    x_rel = gx - dxr
     d2 = jnp.sum(x_rel * x_rel, axis=-1, keepdims=True)
-    # sigmas as python scalars (array constants can't be captured in-kernel)
-    rbf = jnp.concatenate([jnp.exp(d2 * (-1.0 / s)) for s in RBF_SIGMAS],
-                          axis=-1)         # (T*K, 15)
+    # sigma_k = 1.5^k as a lane iota — avoids captured constants / lane concat
+    kk = jax.lax.broadcasted_iota(jnp.int32, (TK, N_RBF), 1).astype(jnp.float32)
+    inv_sigma = jnp.exp(kk * (-jnp.log(1.5)))
+    rbf = jnp.exp(-d2 * inv_sigma)         # (T*K, 15)
     if not use_dist:
         rbf = rbf * 0.0
 
-    pre = (gath[:, 3:] + dstr[:, 3:]
-           + jnp.dot(he, Wc_ref[:], preferred_element_type=jnp.float32)
-           + jnp.dot(rbf, Wd_ref[:], preferred_element_type=jnp.float32))
+    pre = gh + dhr + dot(he, Wc_ref[:]) + dot(rbf, Wd_ref[:])
     act = _leaky(pre, slope)
     if use_ln:
         mean = jnp.mean(act, axis=-1, keepdims=True)
         var = jnp.mean((act - mean) ** 2, axis=-1, keepdims=True)
         act = (act - mean) * jax.lax.rsqrt(var + 1e-5) * lng_ref[0] + lnb_ref[0]
-    msg = jnp.dot(act, W2_ref[:], preferred_element_type=jnp.float32) + b2_ref[0]
+    msg = dot(act, W2_ref[:]) + b2_ref[0]  # (T*K, D)
 
-    c1 = _leaky(jnp.dot(msg, W1c_ref[:],
-                        preferred_element_type=jnp.float32) + b1c_ref[0], slope)
-    coef = jnp.dot(c1, W2c_ref[:],
-                   preferred_element_type=jnp.float32) + b2c_ref[0]  # (T*K, 1)
+    c1 = _leaky(dot(msg, W1c_ref[:]) + b1c_ref[0], slope)
+    coef = dot(c1, W2c_ref[:]) + b2c_ref[0]            # (T*K, 1)
 
-    D = msg.shape[-1]
-    cnt = jnp.maximum(jnp.sum(msk.reshape(T, K), axis=1, keepdims=True), 1.0)
-    aggr = jnp.sum((msg * msk).reshape(T, K, D), axis=1) / cnt
-    xmom = x_rel * coef * msk
-    xupd = jnp.sum(xmom.reshape(T, K, 3), axis=1) / cnt
+    cnt = jnp.maximum(sel(Q, msk), 1.0)                # (T, 1)
+    aggr = sel(Q, msg * msk) / cnt                     # (T, D)
+    xupd = sel(Q, x_rel * coef * msk) / cnt            # (T, 3)
 
     aggr_ref[0] = aggr.astype(aggr_ref.dtype)
     xupd_ref[0] = xupd.astype(xupd_ref.dtype)
@@ -148,17 +159,18 @@ def _fused_call(src, dst, he, nbr, msk, params, slope, use_ln, use_dist,
     while N % T:                # buckets that aren't BLOCK_T multiples
         T //= 2
     assert T >= 8, (N, BLOCK_T)
-    Nsrc = src.shape[1]
 
+    # The neighbor gather runs in XLA (HBM-native); the kernel fuses
+    # everything downstream of it.
+    gath = jnp.take_along_axis(
+        src, nbr.reshape(B, N * K)[..., None], axis=1)     # (B, N*K, C)
+    gx, gh = gath[..., :3], gath[..., 3:]
+    dx, dh = dst[..., :3], dst[..., 3:]
     he2 = he.reshape(B, N * K, E)
-    nbr2 = nbr.reshape(B, N * K, 1)
-    msk2 = msk.reshape(B, N * K, 1)
-
-    const = pl.BlockSpec(
-        params["Wc"].shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+    msk2 = msk.reshape(B, N * K, 1).astype(jnp.float32)
 
     def cspec(p):
-        return pl.BlockSpec(p.shape, lambda b, i: (0, 0),
+        return pl.BlockSpec(p.shape, lambda b, i: (0,) * p.ndim,
                             memory_space=pltpu.VMEM)
 
     row = lambda p: p.reshape(1, -1)
@@ -174,10 +186,11 @@ def _fused_call(src, dst, he, nbr, msk, params, slope, use_ln, use_dist,
         kern,
         grid=(B, N // T),
         in_specs=[
-            pl.BlockSpec((1, Nsrc, C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, T, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, T * K, 3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, T * K, C - 3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, T, 3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, T, C - 3), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, T * K, E), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, T * K, 1), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, T * K, 1), lambda b, i: (b, i, 0)),
             cspec(Wc), cspec(Wd), cspec(lng), cspec(lnb),
             cspec(W2), cspec(b2), cspec(W1c), cspec(b1c),
@@ -192,7 +205,7 @@ def _fused_call(src, dst, he, nbr, msk, params, slope, use_ln, use_dist,
             jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
         ],
         interpret=interpret,
-    )(src, dst, he2, nbr2, msk2, Wc, Wd, lng, lnb, W2, b2, W1c, b1c, W2c, b2c)
+    )(gx, gh, dx, dh, he2, msk2, Wc, Wd, lng, lnb, W2, b2, W1c, b1c, W2c, b2c)
     return aggr, xupd
 
 
