@@ -157,10 +157,14 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            dtype=os.environ["BENCH_DTYPE"]))
-    # BENCH_FUSED_EDGE=1: fused Pallas edge-message+segment-mean kernel
-    # (ops/pallas/edge_message.py) in place of the factored XLA path — the
-    # VERDICT item-5 A/B; see PERF.md for the keep/reject decision.
-    if os.environ.get("BENCH_FUSED_EDGE", "0") not in ("", "0"):
+    # Fused Pallas edge-message+segment-mean kernel (ops/pallas/edge_message
+    # .py) in place of the factored XLA path. KEPT after the round-2 A/B:
+    # it wins end-to-end at every measured size on v5e (691.2 vs 605.4
+    # pairs/s at N=256, 142.6 vs 124.4 at N=1024 — PERF.md "Fused
+    # edge-message kernel"), so it defaults ON on TPU; BENCH_FUSED_EDGE=0
+    # reverts to the factored XLA path.
+    default_fused = "0" if jax.default_backend() == "cpu" else "1"
+    if os.environ.get("BENCH_FUSED_EDGE", default_fused) not in ("", "0"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, fused_edge_message=True,
                                            factored_edge_mlp=False))
