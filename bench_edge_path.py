@@ -26,15 +26,21 @@ PEAK_F32 = 98e12     # v5e MXU f32 TFLOP/s (see bench_kernels.py)
 PEAK_HBM = 820e9     # v5e HBM bytes/s
 
 
-def timeit(fn, *args, iters=30):
+def chain_time(step, state, iters=50):
+    """Device time per op via ITERS chained applications inside ONE jitted
+    fori_loop. Each step feeds its full output back into its input at full
+    magnitude, so XLA's loop-invariant code motion cannot hoist or elide any
+    iteration, and the ~1 ms/dispatch tunnel overhead (which dwarfs every op
+    here when timed with a Python loop) is amortized to noise."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    @jax.jit
+    def run(s):
+        return jax.lax.fori_loop(0, iters, lambda i, t: step(t), s)
+
+    jax.block_until_ready(run(state))          # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(run(state))
     return (time.perf_counter() - t0) / iters
 
 
@@ -107,8 +113,18 @@ def main():
             return _mlp2(p["edge_mlp"], msg_in, cfg, "LN", None, False,
                          None, "", side.nbr_mask[..., None])
 
-        f = jax.jit(concat_path)
-        t = timeit(f, side.x, h, side.edge_feat)
+        def msg_feedback(path):
+            """(x, h) -> (x, h) with full-magnitude dependency on every
+            element of the per-edge msg tensor (max over K is cheap next to
+            the MLP matmuls but touches everything)."""
+            def step(s):
+                x, hh = s
+                msg = path(x, hh, side.edge_feat)
+                return (x + 1e-3 * jnp.max(msg[..., :3], axis=2),
+                        jnp.max(msg, axis=2))
+            return step
+
+        t = chain_time(msg_feedback(concat_path), (side.x, h))
         flops = Egs * 2 * ((2 * D + E + R) * D + D * D)
         bytes_ = (Egs * (2 * D + E + R) * F32          # concat intermediate w
                   + Egs * (2 * D + E + R) * F32        # ... and read
@@ -125,8 +141,7 @@ def main():
             return _edge_mlp_factored(p["edge_mlp"], side, h, h, he, rbf,
                                       cfgF, None, False)
 
-        f = jax.jit(factored_path)
-        t = timeit(f, side.x, h, side.edge_feat)
+        t = chain_time(msg_feedback(factored_path), (side.x, h))
         flops = (2 * B * N * D * D * 2                 # node-level h@W halves
                  + Egs * 2 * (E + R) * D               # per-edge he/rbf matmuls
                  + Egs * 2 * D * D)                    # lin2
@@ -157,9 +172,13 @@ def main():
                                           side.nbr_mask, kparams,
                                           interpret=interpret)
 
+        def fused_step(s):
+            x, hh = s
+            aggr, xupd = fused_path(x, hh, side.edge_feat)
+            return (x + 1e-3 * xupd, aggr)
+
         try:
-            f = jax.jit(fused_path)
-            t = timeit(f, side.x, h, side.edge_feat)
+            t = chain_time(fused_step, (side.x, h))
             flops = (2 * B * N * D * D * 2             # node projections
                      + Egs * 2 * (E + R) * D           # he/rbf matmuls
                      + Egs * 2 * D * D                 # lin2
@@ -174,10 +193,16 @@ def main():
             rows.append({"N": N, "op": "edge_fused_pallas_fwd",
                          "error": str(e).split("\n")[0][:200]})
 
-        # 4) segment mean alone ((B,N,K,D) -> (B,N,D)): pure HBM streaming
+        # 4) segment mean alone ((B,N,K,D) -> (B,N,D)): pure HBM streaming.
+        # The feedback add re-touches msg, so measured time is <= 2x the op
+        # alone — %SoL here is a lower bound.
         msg = jnp.asarray(rng.standard_normal((B, N, K, D)).astype(np.float32))
-        f = jax.jit(lambda m: masked_mean_over_k(m, side.nbr_mask))
-        t = timeit(f, msg)
+
+        def segmean_step(m):
+            aggr = masked_mean_over_k(m, side.nbr_mask)
+            return m + 1e-3 * aggr[:, :, None, :]
+
+        t = chain_time(segmean_step, msg, iters=200)
         flops = Egs * D
         bytes_ = Egs * D * F32 + B * N * D * F32
         rows.append({"N": N, **row("segment_mean", t, flops, bytes_)})
@@ -191,8 +216,11 @@ def main():
                          None, "", side.nbr_mask[..., None])
             return masked_mean_over_k(x_rel * coef, side.nbr_mask)
 
-        f = jax.jit(coors_tail)
-        t = timeit(f, msg, x_rel)
+        def coors_step(m):
+            xu = coors_tail(m, x_rel)
+            return m + 1e-3 * xu[:, :, None, :1]
+
+        t = chain_time(coors_step, msg, iters=200)
         flops = Egs * 2 * (D * D + D)
         bytes_ = Egs * D * F32 + Egs * 3 * F32 + B * N * 3 * F32
         rows.append({"N": N, **row("coors_mlp_tail_fwd", t, flops, bytes_)})
@@ -222,8 +250,13 @@ def main():
             return R_, t_
 
         h2 = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
-        f = jax.jit(keypoint_head)
-        t = timeit(f, h, h2, side.x, side.x, iters=10)
+
+        def keyhead_step(s):
+            hl, hr = s
+            R_, t_ = keypoint_head(hl, hr, side.x, side.x)
+            return (hl + 1e-3 * t_[:, :, :1], hr + 1e-3 * R_[:, :1, :1])
+
+        t = chain_time(keyhead_step, (h, h2), iters=30)
         flops = (2 * 2 * B * N * D * H * D             # two key projections
                  + 2 * 2 * B * H * D * D               # two query projections
                  + 2 * 2 * B * N * H * D               # logits
@@ -246,8 +279,14 @@ def main():
             xu = masked_mean_over_k(x_rel * coef, side.nbr_mask)
             return jnp.sum(aggr ** 2) + jnp.sum(xu ** 2)
 
-        f = jax.jit(jax.grad(loss_factored, argnums=(0, 1)))
-        t = timeit(f, side.x, h, side.edge_feat, iters=10)
+        gradf = jax.grad(loss_factored, argnums=(0, 1))
+
+        def fwdbwd_step(s):
+            x, hh = s
+            gx, gh = gradf(x, hh, side.edge_feat)
+            return (x + 1e-4 * gx, hh + 1e-4 * gh)
+
+        t = chain_time(fwdbwd_step, (side.x, h), iters=30)
         fwd_flops = (2 * B * N * D * D * 2 + Egs * 2 * (E + R) * D
                      + Egs * 2 * D * D + Egs * 2 * (D * D + D))
         rows.append({"N": N, **row("edge_path_factored_fwd_bwd", t,
