@@ -159,3 +159,73 @@ def load_dips_shards(cfg: Config, split: str) -> Tuple[List[ComplexSample], List
         codes.extend(names)
         shard_idx += 1
     return samples, codes
+
+
+def build_dips_frozen_cache(cfg: Config, complexes_dir: str,
+                            log=print) -> List[str]:
+    """Build a REAL-DIPS training cache from the frozen test set's bound
+    complex PDBs (`test_sets_pdb/dips_test_random_transformed/complexes/
+    *_{l,r}_b_COMPLEX.pdb`, written by `testset_random_transf.py:13-106`).
+
+    This environment does not mount the 42K-pair DIPS training corpus
+    (`.MISSING_LARGE_BLOBS`), so these 100 real bound pairs are the only real
+    DIPS structures available for exercising the DIPS->DB5 curriculum on
+    actual (rather than synthetic) data. IMPORTANT LEAKAGE CAVEAT: they ARE
+    the DIPS *test* complexes — any model pretrained on this cache must never
+    be scored on DIPS test metrics; DB5 test evaluation is unaffected (the
+    DB5 benchmark shares no complexes with DIPS).
+
+    Splits deterministically by sorted index mod 10 (8 train : 1 val : 1
+    test) so every DIPS family directory contributes to each split."""
+    from .dataset import _process_one
+
+    gc = cfg.graph
+    cache_dir = cfg.cache_path()
+    os.makedirs(cache_dir, exist_ok=True)
+
+    import glob as _glob
+
+    lig_files = sorted(_glob.glob(os.path.join(complexes_dir,
+                                               "*_l_b_COMPLEX.pdb")))
+    pairs = [(f, f.replace("_l_b_COMPLEX.pdb", "_r_b_COMPLEX.pdb"))
+             for f in lig_files]
+    pairs = [(l, r) for l, r in pairs if os.path.exists(r)]
+    log(f"dips-frozen: {len(pairs)} bound complex pairs in {complexes_dir}")
+
+    by_split: dict = {"train": [], "val": [], "test": []}
+    for i, (l, r) in enumerate(pairs):
+        split = ("val" if i % 10 == 8 else "test" if i % 10 == 9 else "train")
+        by_split[split].append((l, r))
+
+    shard_paths = []
+    for split, items in by_split.items():
+        out_path = os.path.join(cache_dir, f"{split}_shard0000.npz")
+        shard_paths.append(out_path)
+        if os.path.exists(out_path):
+            log(f"  {split}: cache exists")
+            continue
+        tasks = [(l, r, gc.pocket_cutoff, gc.graph_cutoff,
+                  gc.graph_max_neighbor) for l, r in items]
+        if cfg.data.n_jobs > 1:
+            with ProcessPoolExecutor(max_workers=cfg.data.n_jobs) as ex:
+                results = list(ex.map(_process_one, tasks))
+        else:
+            results = [_process_one(t) for t in tasks]
+        out: dict = {}
+        kept = []
+        idx = 0
+        for (l, _), sample in zip(items, results):
+            if sample is None:
+                continue
+            pfx = f"c{idx}/"
+            _graph_to_npz(pfx + "lig/", sample.lig, out)
+            _graph_to_npz(pfx + "rec/", sample.rec, out)
+            out[pfx + "gt_lig"] = sample.gt_lig
+            out[pfx + "gt_rec"] = sample.gt_rec
+            out[pfx + "pocket"] = sample.pocket
+            kept.append(os.path.basename(l).replace("_l_b_COMPLEX.pdb", ""))
+            idx += 1
+        out["codes"] = np.array(kept)
+        np.savez_compressed(out_path, **out)
+        log(f"  {split}: kept {idx}/{len(items)}")
+    return shard_paths

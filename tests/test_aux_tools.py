@@ -169,3 +169,40 @@ def test_partition_dips_on_synthetic_pairs(tmp_path, monkeypatch, capsys):
     main()
     assert "skipping scan" in capsys.readouterr().out
     assert sorted(lines("pairs-postprocessed.txt")) == sorted(expected_kept)
+
+
+def test_build_dips_frozen_cache(tmp_path):
+    """build_dips_frozen_cache turns *_{l,r}_b_COMPLEX.pdb bound pairs into
+    train/val/test shards loadable by the normal DIPS dataset path."""
+    import dataclasses
+    import shutil
+
+    from equidock_public_tpu.config import Config
+    from equidock_public_tpu.data.dataset import DockingDataset
+    from equidock_public_tpu.data.dips import build_dips_frozen_cache
+
+    src = "/root/reference/data/benchmark5.5/structures"
+    complexes = tmp_path / "complexes"
+    complexes.mkdir()
+    # 12 bound pairs -> 10 train (i%10<8), 1 val (i%10==8), 1 test (9)
+    for i, code in enumerate(["1A2K"] * 12):
+        shutil.copy(f"{src}/{code}_l_b.pdb",
+                    complexes / f"c{i:02d}_l_b_COMPLEX.pdb")
+        shutil.copy(f"{src}/{code}_r_b.pdb",
+                    complexes / f"c{i:02d}_r_b_COMPLEX.pdb")
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, data="dips",
+                                      cache_dir=str(tmp_path / "cache"),
+                                      n_jobs=1))
+    build_dips_frozen_cache(cfg, str(complexes), log=lambda *a: None)
+
+    counts = {}
+    for split in ("train", "val", "test"):
+        ds = DockingDataset(cfg, split)
+        counts[split] = len(ds.samples)
+        for s in ds.samples:
+            assert s.pocket.shape[0] > 3          # real pocket extracted
+            assert s.lig.x.shape[1] == 3 and s.rec.x.shape[1] == 3
+    assert counts == {"train": 10, "val": 1, "test": 1}
