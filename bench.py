@@ -168,6 +168,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, fused_edge_message=True,
                                            factored_edge_mlp=False))
+    # Fused Pallas BACKWARD for the edge kernel (A/B knob; default off until
+    # the train-step A/B on chip decides — see PERF.md).
+    if os.environ.get("BENCH_FUSED_EDGE_BWD", "0") not in ("", "0"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fused_edge_bwd=True))
     rng = np.random.default_rng(0)
     batch = _tiny_batch(rng, B=B, N_l=N, N_r=N)
 

@@ -45,6 +45,8 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-fused_edge_message", action="store_true",
                    help="fused Pallas edge-message+segment-mean kernel "
                         "(forward path)")
+    p.add_argument("-fused_edge_bwd", action="store_true",
+                   help="fused Pallas backward for the edge-message kernel")
     p.add_argument("-use_fused_intersection", action="store_true",
                    help="fused Pallas softmin-field intersection kernel")
     p.add_argument("-remat", action="store_true")
@@ -121,7 +123,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             divide_coors_dist=bool(a.divide_coors_dist),
             use_fused_attention=a.use_fused_attention,
             factored_edge_mlp=a.factored_edge_mlp,
-            fused_edge_message=a.fused_edge_message, remat=a.remat,
+            fused_edge_message=a.fused_edge_message,
+            fused_edge_bwd=a.fused_edge_bwd, remat=a.remat,
             dtype=a.dtype),
         graph=GraphConfig(
             graph_cutoff=a.graph_cutoff,

@@ -60,6 +60,9 @@ class ModelConfig:
     # segment means in one VMEM-resident kernel (forward path; backward
     # recomputes through the XLA expression). Same params.
     fused_edge_message: bool = False
+    # Backward of the fused edge kernel also as a Pallas kernel (VMEM
+    # recompute + all cotangents in one pass) instead of the XLA recompute.
+    fused_edge_bwd: bool = False
     # Rematerialize each IEGMN layer in the backward pass (trade FLOPs for
     # HBM; lets deep configs / big buckets fit).
     remat: bool = False

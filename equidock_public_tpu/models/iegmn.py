@@ -307,7 +307,8 @@ def iegmn_layer_forward(
         return edge_message_aggregate(
             src_arr, dst_arr, he, side.nbr, side.nbr_mask, kparams,
             slope=cfg.leakyrelu_neg_slope, use_ln=cfg.layer_norm == "LN",
-            use_dist=cfg.use_dist_in_layers, interpret=interp)
+            use_dist=cfg.use_dist_in_layers, interpret=interp,
+            fused_bwd=cfg.fused_edge_bwd)
 
     def edge_messages(side: ProteinBatch, x, h, he, rng_, src):
         x_s, h_s = src if src is not None else (x, h)

@@ -114,9 +114,54 @@ def test_fused_edge_message_matches_xla_layer(rng):
                                    rtol=1e-4, atol=1e-4, err_msg=lbl)
 
 
-def test_fused_edge_message_backward(rng):
-    """Gradients of the fused kernel (custom VJP through the XLA reference
-    recompute) == gradients of the pure XLA expression."""
+def test_fused_edge_bwd_through_layer(rng):
+    """Parameter gradients through a full IEGMN layer with the fused edge
+    kernel AND its fused Pallas backward == the XLA layer's gradients."""
+    import dataclasses
+
+    from equidock_public_tpu.models.iegmn import (init_docking_model,
+                                                  iegmn_layer_forward)
+    from .utils import synth_batch, tiny_config
+
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    B, N = 2, 64
+    batch = synth_batch(rng, B=B, N_l=N, N_r=N, n_l=N - 5, n_r=N - 9,
+                        coord_scale=50.0)
+    D = cfg.model.input_node_feats_dim
+    h_l = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    h_r = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+
+    def loss(lp, mc):
+        x_l, hh_l, x_r, hh_r = iegmn_layer_forward(
+            lp, mc, False, False, batch.lig, batch.rec,
+            batch.lig.x, h_l, batch.rec.x, h_r, h_l, h_r,
+            batch.lig.edge_feat, batch.rec.edge_feat,
+            batch.lig.x, batch.rec.x)
+        m_l = batch.lig.node_mask[..., None]
+        m_r = batch.rec.node_mask[..., None]
+        return (jnp.sum((x_l * m_l) ** 2) + jnp.sum((hh_l * m_l) ** 2)
+                + jnp.sum((x_r * m_r) ** 2) + jnp.sum((hh_r * m_r) ** 2))
+
+    lp = params["original"]["layer0"]
+    g_ref = jax.grad(loss)(lp, cfg.model)
+    fused_cfg = dataclasses.replace(cfg.model, fused_edge_message=True,
+                                    fused_edge_bwd=True)
+    g_fus = jax.grad(loss)(lp, fused_cfg)
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_fus = jax.tree.leaves(g_fus)
+    for (path, a), b in zip(flat_ref, flat_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(path))
+
+
+@pytest.mark.parametrize("fused_bwd", [False, True])
+@pytest.mark.parametrize("use_ln,use_dist", [(True, True), (False, True),
+                                             (True, False)])
+def test_fused_edge_message_backward(rng, fused_bwd, use_ln, use_dist):
+    """Gradients of the fused kernel == gradients of the pure XLA
+    expression, for both backward modes (XLA recompute and the fused
+    Pallas backward kernel)."""
     from equidock_public_tpu.ops.pallas.edge_message import (
         _reference, edge_message_aggregate)
 
@@ -145,10 +190,10 @@ def test_fused_edge_message_backward(rng):
         return f
 
     ref_fn = loss_f(lambda s, d, p: _reference(s, d, he, nbr, msk, p,
-                                               0.01, True, True))
+                                               0.01, use_ln, use_dist))
     fus_fn = loss_f(lambda s, d, p: edge_message_aggregate(
-        s, d, he, nbr, msk, p, slope=0.01, use_ln=True, use_dist=True,
-        interpret=True))
+        s, d, he, nbr, msk, p, slope=0.01, use_ln=use_ln, use_dist=use_dist,
+        interpret=True, fused_bwd=fused_bwd))
 
     v_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2))(src, dst, params)
     v_fus, g_fus = jax.value_and_grad(fus_fn, argnums=(0, 1, 2))(src, dst, params)
