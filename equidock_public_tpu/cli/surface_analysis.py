@@ -1,11 +1,17 @@
 """Surface-feature sanity analysis (replaces `src/surface_analysis.py:22-85`):
-Spearman correlation between a residue-depth measure and the mu_r_norm[4]
+Spearman correlation between residue depth and the mu_r_norm[4]
 surface-awareness feature (sigma=30).
 
-The reference uses Biopython+MSMS residue depth; that stack is unavailable
-here, so the default depth proxy is the distance from each residue CA to the
-protein's convex hull (deeper residue = larger distance), which preserves the
-qualitative claim being tested: mu_r_norm is LOWER for buried residues.
+The reference uses Biopython's MSMS wrapper (`surface_analysis.py:36-38`):
+residue depth = average distance of a residue's atoms to the molecular
+surface. MSMS is unavailable here, so `-depth sas` (default) computes an
+MSMS-free equivalent from first principles: sample each atom's
+solvent-accessible sphere (vdW radius + 1.4 A probe) with a Fibonacci
+lattice, keep the points not occluded by any neighboring atom's sphere (the
+solvent-accessible surface point cloud), then depth(residue) = mean over its
+atoms of the distance to the nearest surface point — the same definition
+Biopython evaluates against MSMS's surface vertices. `-depth hull` keeps the
+round-1 convex-hull proxy for comparison.
 
     python -m equidock_public_tpu.cli.surface_analysis -pdb FILE.pdb
 """
@@ -13,26 +19,88 @@ qualitative claim being tested: mu_r_norm is LOWER for buried residues.
 import argparse
 
 import numpy as np
-from scipy.spatial import ConvexHull
+from scipy.spatial import ConvexHull, cKDTree
 from scipy.stats import spearmanr
 
 from ..data.featurize import build_protein_graph, filter_residues
 from ..data.pdb import group_residues, read_pdb
 
+# Bondi vdW radii (A) for the elements that occur in protein PDBs
+VDW = {"C": 1.70, "N": 1.55, "O": 1.52, "S": 1.80, "H": 1.20, "P": 1.80,
+       "SE": 1.90}
+VDW_DEFAULT = 1.70
+PROBE = 1.4
+
+
+def fibonacci_sphere(n: int) -> np.ndarray:
+    """(n, 3) near-uniform unit-sphere directions."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi),
+                     np.cos(phi)], axis=-1)
+
+
+def _atom_radii(elements) -> np.ndarray:
+    return np.array([VDW.get(str(e).upper(), VDW_DEFAULT) + PROBE
+                     for e in elements])
+
+
+def sas_surface_points(coords: np.ndarray, radii: np.ndarray,
+                       n_sphere: int = 80) -> np.ndarray:
+    """Solvent-accessible-surface point cloud: per-atom sphere samples that
+    no neighboring atom's expanded sphere occludes (Shrake-Rupley style)."""
+    dirs = fibonacci_sphere(n_sphere)
+    tree = cKDTree(coords)
+    rmax = float(radii.max())
+    out = []
+    for i in range(len(coords)):
+        pts = coords[i] + radii[i] * dirs
+        # a neighbor j can only clip sphere i if |c_i - c_j| < r_i + r_j
+        nbrs = [j for j in tree.query_ball_point(coords[i], radii[i] + rmax)
+                if j != i]
+        if nbrs:
+            d = np.linalg.norm(pts[:, None, :] - coords[nbrs][None, :, :],
+                               axis=-1)
+            keep = np.all(d >= radii[nbrs][None, :] - 1e-9, axis=1)
+            pts = pts[keep]
+        out.append(pts)
+    return np.concatenate(out, axis=0)
+
+
+def sas_residue_depth(residues, n_sphere: int = 80) -> np.ndarray:
+    """Residue depth against the SAS point cloud: mean over the residue's
+    atoms of the distance to the nearest surface point (Biopython's
+    ResidueDepth definition, evaluated on our surface instead of MSMS's)."""
+    coords = np.concatenate([c["coords"] for _, c in residues]).astype(
+        np.float64)
+    elements = np.concatenate([c["element"] for _, c in residues])
+    radii = _atom_radii(elements)
+    surf = sas_surface_points(coords, radii, n_sphere)
+    stree = cKDTree(surf)
+    depth_atom, _ = stree.query(coords)
+    splits = np.cumsum([len(c["coords"]) for _, c in residues])[:-1]
+    return np.array([d.mean() for d in np.split(depth_atom, splits)])
+
 
 def convex_hull_depth(x: np.ndarray) -> np.ndarray:
     """Distance of each point to the convex hull boundary (0 on the surface,
-    positive inside)."""
+    positive inside). Round-1 proxy, kept for comparison."""
     hull = ConvexHull(x.astype(np.float64))
     # hull.equations: (F, 4) rows [n, d] with n.x + d <= 0 inside
     d = x @ hull.equations[:, :3].T + hull.equations[:, 3][None, :]
     return -np.max(d, axis=1)  # distance to nearest face plane
 
 
-def analyze(pdb_path: str, cutoff: float = 30.0, max_neighbor: int = 10):
+def analyze(pdb_path: str, cutoff: float = 30.0, max_neighbor: int = 10,
+            depth_method: str = "sas"):
     residues = filter_residues(group_residues(read_pdb(pdb_path)))
     g = build_protein_graph(residues, cutoff, max_neighbor)
-    depth = convex_hull_depth(g.x)
+    if depth_method == "sas":
+        depth = sas_residue_depth(residues)
+    else:
+        depth = convex_hull_depth(g.x)
     rhos = []
     for s in range(5):
         rho, _ = spearmanr(depth, g.mu_r_norm[:, s])
@@ -43,8 +111,9 @@ def analyze(pdb_path: str, cutoff: float = 30.0, max_neighbor: int = 10):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-pdb", required=True)
+    p.add_argument("-depth", default="sas", choices=["sas", "hull"])
     a = p.parse_args()
-    rhos = analyze(a.pdb)
+    rhos = analyze(a.pdb, depth_method=a.depth)
     for s, (sigma, rho) in enumerate(zip([1, 2, 5, 10, 30], rhos)):
         print(f"sigma={sigma:>2}: spearman(depth, mu_r_norm[{s}]) = {rho:+.3f}")
     print("(negative correlation expected: buried residues have lower "

@@ -206,3 +206,46 @@ def test_build_dips_frozen_cache(tmp_path):
             assert s.pocket.shape[0] > 3          # real pocket extracted
             assert s.lig.x.shape[1] == 3 and s.rec.x.shape[1] == 3
     assert counts == {"train": 10, "val": 1, "test": 1}
+
+
+def test_sas_residue_depth():
+    """SAS surface sampling + residue depth: a residue at the center of a
+    dense cluster must be deeper than the peripheral ones, and every depth
+    must be >= 0 (distance to the accessible surface)."""
+    from equidock_public_tpu.cli.surface_analysis import (
+        fibonacci_sphere, sas_residue_depth, sas_surface_points, _atom_radii)
+
+    dirs = fibonacci_sphere(64)
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-12)
+
+    # 3x3x3 grid of single-atom "residues" spaced 3 A apart: the center one
+    # is fully buried, the corners are exposed.
+    rng = np.random.default_rng(0)
+    residues = []
+    for ix in range(3):
+        for iy in range(3):
+            for iz in range(3):
+                xyz = np.array([[3.0 * ix, 3.0 * iy, 3.0 * iz]])
+                xyz = xyz + rng.normal(scale=0.05, size=(1, 3))
+                residues.append((("A", len(residues) + 1, "ALA"),
+                                 dict(coords=xyz.astype(np.float64),
+                                      element=np.array(["C"]),
+                                      atom_name=np.array(["CA"]),
+                                      resname="ALA")))
+    depth = sas_residue_depth(residues, n_sphere=120)
+    assert depth.shape == (27,)
+    assert np.all(depth >= 0)
+    center = 13                      # (1,1,1) in the 3x3x3 enumeration
+    corners = [0, 2, 6, 8, 18, 20, 24, 26]
+    assert depth[center] > max(depth[c] for c in corners) + 0.5
+
+    # a single isolated atom keeps its whole sphere: depth == its SAS radius
+    lone = [(("A", 1, "ALA"), dict(coords=np.zeros((1, 3)),
+                                   element=np.array(["C"]),
+                                   atom_name=np.array(["CA"]),
+                                   resname="ALA"))]
+    surf = sas_surface_points(np.zeros((1, 3)),
+                              _atom_radii(np.array(["C"])), 120)
+    assert len(surf) == 120
+    np.testing.assert_allclose(sas_residue_depth(lone, 120), 1.7 + 1.4,
+                               atol=1e-6)
