@@ -112,10 +112,59 @@ def epoch_bench(mode: str):
     }))
 
 
+def infer_bench():
+    """Serving throughput: jitted eval forward, one complex per call (the
+    inference CLI's regime). The reference's only published speed metric is
+    per-complex inference wall time (`inference_rigid.py:241-245`, seconds
+    per complex on CPU/GPU); this reports ms/complex on one chip."""
+    import dataclasses
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath("./jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from equidock_public_tpu.config import Config
+    from equidock_public_tpu.models.iegmn import (docking_forward,
+                                                  init_docking_model)
+    from __graft_entry__ import _tiny_batch
+
+    N = int(os.environ.get("BENCH_N", "512"))       # DB5 median bucket
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    cfg = Config.db5_paper_model()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    batch = _tiny_batch(rng, B=1, N_l=N, N_r=N)
+
+    @jax.jit
+    def fwd(params, batch):
+        out = docking_forward(params, cfg.model, batch, train=False)
+        return out["ligand_coords"], out["R"], out["t"]
+
+    jax.block_until_ready(fwd(params, batch))       # compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fwd(params, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+    # reference: ~1 s/complex order (CPU, inference_rigid.py timing prints)
+    baseline_s = 1.0
+    print(json.dumps({
+        "metric": "inference_ms_per_complex",
+        "value": round(dt * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_s / dt, 1),
+        "complexes_per_s": round(1.0 / dt, 1),
+        "N": N,
+    }))
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "")
     if mode in ("db5_epoch", "dips_epoch"):
         return epoch_bench(mode.split("_")[0])
+    if mode == "infer":
+        return infer_bench()
     import jax
 
     # persistent compile cache: repeated bench/train runs skip the (expensive)
