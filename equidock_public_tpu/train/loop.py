@@ -98,7 +98,11 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
         for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
             sums[k] = sums.get(k, 0.0) + float(metrics[k])
         num_clips += int(float(metrics["clipped"]))
-        if rng.uniform() < cfg.train.train_rmsd_fraction:
+        # always meter the first batch so short epochs (few batches x 10%
+        # sampling) never report a NaN train RMSD; the uniform draw happens
+        # unconditionally to keep the rng stream identical to prior runs
+        sampled = rng.uniform() < cfg.train.train_rmsd_fraction
+        if num_batches == 1 or sampled:
             out = eval_step(state.params, batch, cfg, state.bn_state)
             meter.update_batch(batch, np.asarray(out["ligand_coords"]))
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
