@@ -174,3 +174,26 @@ def test_spatial_permutation_shrinks_halo(rng):
     _, without, _, _ = build_halo_batch(batch, gp=4, spatial=False)
     assert (with_perm.sizes_lig.sum() + with_perm.sizes_rec.sum()
             <= without.sizes_lig.sum() + without.sizes_rec.sum())
+
+
+def test_halo_forward_with_fused_edge_kernel(rng):
+    """The halo layer body routes its [local | halo] source view through the
+    fused Pallas edge-message kernel (the 'local aggregation' half of the
+    overlap design) — forward parity vs the dense XLA path."""
+    cfg, batch, params = _setup(rng)
+    dense = docking_forward(params, cfg.model, batch)
+
+    fused_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, fused_edge_message=True))
+    mesh = make_mesh(dp=4, gp=2)
+    hb, stats, perm_l, perm_r = build_halo_batch(batch, gp=2)
+    with mesh:
+        hb_s = shard_halo_batch(hb, mesh)
+        params_r = replicate(params, mesh)
+        fwd = jax.jit(make_halo_forward(fused_cfg, mesh))
+        out = fwd(params_r, hb_s)
+
+    np.testing.assert_allclose(np.asarray(out["R"]), np.asarray(dense["R"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["t"]), np.asarray(dense["t"]),
+                               rtol=1e-4, atol=1e-3)
