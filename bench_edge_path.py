@@ -292,6 +292,35 @@ def main():
         rows.append({"N": N, **row("edge_path_factored_fwd_bwd", t,
                                    3 * fwd_flops, 3 * Egs * D * F32 * 3)})
 
+        # 8) fwd+bwd through the fused kernel pair (Pallas fwd + Pallas bwd):
+        #    the gradient cost of (3) with the VMEM-recompute backward
+        def loss_fused(x, h, he, fused_bwd=True):
+            src_arr = jnp.concatenate([x, mm(h, W[:D])], axis=-1)
+            dst_arr = jnp.concatenate([x, mm(h, W[D:2 * D]) + ep["lin1"]["b"]],
+                                      axis=-1)
+            aggr, xu = edge_message_aggregate(
+                src_arr, dst_arr, he, side.nbr, side.nbr_mask, kparams,
+                interpret=interpret, fused_bwd=fused_bwd)
+            return jnp.sum(aggr ** 2) + jnp.sum(xu ** 2)
+
+        for lbl, fb in (("edge_path_fused_fwd_xla_bwd", False),
+                        ("edge_path_fused_fwd_bwd", True)):
+            gradfb = jax.grad(functools.partial(loss_fused, fused_bwd=fb),
+                              argnums=(0, 1))
+
+            def fusedbwd_step(s):
+                x, hh = s
+                gx, gh = gradfb(x, hh, side.edge_feat)
+                return (x + 1e-4 * gx, hh + 1e-4 * gh)
+
+            try:
+                t = chain_time(fusedbwd_step, (side.x, h), iters=30)
+                rows.append({"N": N, **row(lbl, t, 3 * fwd_flops,
+                                           3 * Egs * D * F32 * 3)})
+            except Exception as e:
+                rows.append({"N": N, "op": lbl,
+                             "error": str(e).split("\n")[0][:200]})
+
     print(json.dumps({"backend": jax.default_backend(),
                       "B": B, "K": K, "D": D, "rows": rows}, indent=1))
 
