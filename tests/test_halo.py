@@ -197,3 +197,30 @@ def test_halo_forward_with_fused_edge_kernel(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["t"]), np.asarray(dense["t"]),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_halo_train_step_with_fused_kernels(rng):
+    """Halo train step with the fused edge kernel AND its fused Pallas
+    backward == the dense XLA train step (loss + parameter update): the
+    complete multi-chip fused path in one assertion."""
+    cfg, batch, params = _setup(rng)
+    state = create_train_state(params, cfg)
+    key = jax.random.PRNGKey(3)
+    state1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key, cfg)
+
+    fused_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, fused_edge_message=True,
+                                       fused_edge_bwd=True))
+    mesh = make_mesh(dp=4, gp=2)
+    hb, _, _, _ = build_halo_batch(batch, gp=2)
+    with mesh:
+        hb_s = shard_halo_batch(hb, mesh)
+        state_r = jax.tree.map(lambda x: replicate(x, mesh), state)
+        step = make_halo_train_step(fused_cfg, mesh)
+        state2, m2 = step(state_r, hb_s, key, jnp.asarray(1.0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
