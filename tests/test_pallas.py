@@ -165,7 +165,9 @@ def test_fused_edge_message_backward(rng, fused_bwd, use_ln, use_dist):
     from equidock_public_tpu.ops.pallas.edge_message import (
         _reference, edge_message_aggregate)
 
-    B, N, K, D, E = 2, 64, 4, 16, 27
+    # N=128 > BLOCK_T=64 so the backward's per-block parameter partials are
+    # exercised across multiple grid blocks per batch (NB=2)
+    B, N, K, D, E = 2, 128, 4, 16, 27
     src = jnp.asarray(rng.standard_normal((B, N, 3 + D)).astype(np.float32))
     dst = jnp.asarray(rng.standard_normal((B, N, 3 + D)).astype(np.float32))
     he = jnp.asarray(rng.standard_normal((B, N, K, E)).astype(np.float32))
