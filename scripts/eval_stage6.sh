@@ -19,4 +19,4 @@ env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m equidock_public_tpu.cli.
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m equidock_public_tpu.cli.eval_outputs \
   -input_dir "$OUT" \
   -ground_truth_dir /root/reference/test_sets_pdb/db5_test_random_transformed/complexes \
-  -method equidock_tpu_curriculum
+  -method equidock_tpu
