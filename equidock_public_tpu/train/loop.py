@@ -50,6 +50,27 @@ def prefetch_to_device(iterator, size: int = 2):
         yield item
 
 
+def host_rss_gb() -> float:
+    """Current host resident-set size in GB (0.0 if /proc is unavailable).
+
+    Watchdog telemetry (SURVEY §5): long runs through a remote-device
+    transport can accumulate host-side staging buffers outside this
+    process's control — a DB5 fine-tune through the axon TPU tunnel grew
+    ~790 MB/epoch of anon RSS and was OOM-killed at 130 GB after 165
+    epochs, while the identical loop on the CPU backend holds flat ~2 GB
+    (live jax/numpy bytes constant; see PERF.md "Host memory"). Logging
+    RSS per epoch makes that failure mode visible long before the kernel
+    kills the run; pair with `-save_every_epochs` for preemption safety."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def make_tb_logger(cfg: Config):
     """TensorBoard scalar writer (the reference's SummaryWriter usage,
     `train.py:244,326-381`); no-op fallback when tensorboard is missing."""
@@ -209,9 +230,18 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
             f"int {tr['intersection_loss']:.4f} "
             f"crmsd med {tr['complex_rmsd_median']:.4f} "
             f"clips {tr['num_clips']}/{tr['num_batches']}")
+        rss = host_rss_gb()
         log(f"[VAL]   epoch {epoch} loss {va['loss']:.4f} "
             f"crmsd med {va['complex_rmsd_median']:.4f} "
-            f"mean {va['complex_rmsd_mean']:.4f} time {time.time()-t0:.1f}s")
+            f"mean {va['complex_rmsd_mean']:.4f} time {time.time()-t0:.1f}s "
+            f"rss {rss:.1f}G")
+        if rss > 0.0:
+            tb.add_scalar("host/" + tb_banner + "rss_gb", rss, epoch)
+            total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 1e9
+            if rss > 0.85 * total:
+                log(f"  WARNING host RSS {rss:.1f}G > 85% of {total:.0f}G — "
+                    "likely transport-side buffer growth; checkpoint now and "
+                    "restart the run (resume with -continue_train_model)")
 
         # TB scalars mirror `train.py:327-329,360-362`
         tb.add_scalar("rmsd/" + tb_banner + "train_median",
