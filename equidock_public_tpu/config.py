@@ -220,6 +220,25 @@ class Config:
             data=DataConfig(data="db5"),
         )
 
+    @staticmethod
+    def db5_small_model() -> "Config":
+        """The DB5-only small-capacity recipe found in round 2 (RESULTS.md
+        "Small-model sweep"): 14K-param trunk (hid/emb 16, 2 unshared layers,
+        8 keypoints) at lr 1e-4 / wd 1e-4 / bs 4 with val_repeats-6 denoised
+        selection. Matches the reference's DIPS-pretrained interface accuracy
+        (IRMSD median 11.94 vs 11.97) with no pretraining corpus — small
+        capacity replaces pretraining as the regularizer on 203 train pairs.
+        No reference counterpart (the reference never released a small
+        model; this recipe is a product of our sweep)."""
+        return Config(
+            model=ModelConfig(residue_emb_dim=16, iegmn_lay_hid_dim=16,
+                              iegmn_n_lays=2, shared_layers=False,
+                              num_att_heads=8),
+            train=TrainConfig(lr=1e-4, w_decay=1e-4, patience=400, bs=4,
+                              val_repeats=6),
+            data=DataConfig(data="db5"),
+        )
+
 
 def bucket_for(n: int, buckets: Tuple[int, ...]) -> int:
     """Smallest bucket >= n; falls back to rounding up to the largest bucket's

@@ -249,3 +249,25 @@ def test_sas_residue_depth():
     assert len(surf) == 120
     np.testing.assert_allclose(sas_residue_depth(lone, 120), 1.7 + 1.4,
                                atol=1e-6)
+
+
+def test_db5_small_model_preset_matches_committed_artifact():
+    """`Config.db5_small_model()` is the round-2 small-capacity recipe
+    (RESULTS.md "Small-model sweep", IRMSD parity at 14K params); pin it to
+    the committed checkpoint's sidecar so preset and artifact can't drift."""
+    import json
+
+    from equidock_public_tpu.config import Config
+
+    cfg = Config.db5_small_model()
+    sidecar = os.path.join(os.path.dirname(__file__), "..",
+                           "artifacts", "db5_model_small.config.json")
+    if not os.path.exists(sidecar):
+        pytest.skip("small-model artifact not committed")
+    saved = json.loads(open(sidecar).read())["model"]
+    for field in ("residue_emb_dim", "iegmn_lay_hid_dim", "iegmn_n_lays",
+                  "shared_layers", "num_att_heads", "dropout", "layer_norm",
+                  "skip_weight_h", "fine_tune"):
+        assert getattr(cfg.model, field) == saved[field], field
+    assert cfg.train.lr == 1e-4 and cfg.train.w_decay == 1e-4
+    assert cfg.train.bs == 4 and cfg.train.val_repeats == 6
