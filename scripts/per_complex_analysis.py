@@ -61,6 +61,16 @@ def main():
     diff = difficulty_map()
     tables = {label: per_complex(d, s) for d, s, label in methods}
     stems = sorted(set.intersection(*(set(t) for t in tables.values())))
+    if "--jsonl" in sys.argv:
+        import json
+        out = sys.argv[sys.argv.index("--jsonl") + 1]
+        with open(out, "w") as f:
+            for stem in stems:
+                row = {"complex": stem, "class": diff.get(stem, "?")}
+                for label in tables:
+                    row[f"{label}_crmsd"], row[f"{label}_irmsd"] = tables[label][stem]
+                f.write(json.dumps(row) + "\n")
+        print(f"wrote {out}")
     print(f"{'complex':8s} {'class':9s} " +
           " ".join(f"{label:>20s}" for label in tables))
     print(" " * 18 + " ".join(f"{'crmsd':>10s}{'irmsd':>10s}" for _ in tables))
