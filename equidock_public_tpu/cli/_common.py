@@ -77,6 +77,10 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-intersection_surface_ct", type=float, default=10.0)
     p.add_argument("-random_seed", type=int, default=8)
     p.add_argument("-val_repeats", type=int, default=1)
+    p.add_argument("-select_metric", default="crmsd",
+                   choices=["crmsd", "irmsd", "sum"],
+                   help="early-stopping selection metric: val CRMSD median "
+                        "(the reference's rule), IRMSD median, or their sum")
     p.add_argument("-ot_solver", default="sinkhorn",
                    choices=["sinkhorn", "exact"],
                    help="'exact' = scipy-LP host callback with the "
@@ -141,7 +145,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             random_seed=a.random_seed, scheduler=a.scheduler,
             save_every_epochs=a.save_every_epochs,
             use_fused_intersection=a.use_fused_intersection,
-            val_repeats=a.val_repeats, ot_solver=a.ot_solver),
+            val_repeats=a.val_repeats, ot_solver=a.ot_solver,
+            select_metric=a.select_metric),
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,

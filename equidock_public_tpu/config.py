@@ -122,6 +122,10 @@ class TrainConfig:
     # SE(3) pose drawn per complex (db5_data.py:195-204); averaging several
     # draws denoises model selection on small val sets.
     val_repeats: int = 1
+    # Early-stopping selection metric: 'crmsd' (the reference's val
+    # complex-RMSD-median rule, train.py:372), 'irmsd', or 'sum' (CRMSD +
+    # IRMSD medians — targets a checkpoint good at BOTH headline metrics).
+    select_metric: str = "crmsd"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -503,7 +503,12 @@ def make_halo_train_step(cfg: Config, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, P))
 
     def step(state: TrainState, hb: HaloBatch, rng, lr_scale):
-        return step_body(state, hb, rng, cfg, lr_scale, loss_fn_=halo_loss_fn)
+        new_state, metrics = step_body(state, hb, rng, cfg, lr_scale,
+                                       loss_fn_=halo_loss_fn)
+        # Same as the dp path: don't force an all-gather of per-batch coords
+        # through the replicated out_shardings (only the epoch loop meters).
+        metrics.pop("ligand_coords", None)
+        return new_state, metrics
 
     return jax.jit(step,
                    in_shardings=(repl, hb_shardings, repl, repl),

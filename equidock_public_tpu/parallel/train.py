@@ -35,7 +35,12 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False)
         is_leaf=lambda x: isinstance(x, P))
 
     def step(state: TrainState, batch: PairBatch, rng, lr_scale):
-        return step_body(state, batch, rng, cfg, lr_scale)
+        new_state, metrics = step_body(state, batch, rng, cfg, lr_scale)
+        # Per-batch coords are dp-sharded; replicating them through the
+        # out_shardings would force an all-gather every step. The parallel
+        # loop doesn't meter train RMSD, so drop them here.
+        metrics.pop("ligand_coords", None)
+        return new_state, metrics
 
     return jax.jit(
         step,

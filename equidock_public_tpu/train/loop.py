@@ -124,8 +124,10 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
         # unconditionally to keep the rng stream identical to prior runs
         sampled = rng.uniform() < cfg.train.train_rmsd_fraction
         if num_batches == 1 or sampled:
-            out = eval_step(state.params, batch, cfg, state.bn_state)
-            meter.update_batch(batch, np.asarray(out["ligand_coords"]))
+            # meter from the training forward's own coords (train.py:133-137
+            # semantics) — no second forward; the array only leaves the
+            # device on these sampled batches
+            meter.update_batch(batch, np.asarray(metrics["ligand_coords"]))
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")
     _, _, crmsd_mean = meter.summarize("mean")
@@ -156,13 +158,29 @@ def run_eval_epoch(params, ds: DockingDataset, cfg: Config,
         num_batches += 1
         for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
             sums[k] = sums.get(k, 0.0) + float(out[k])
-        meter.update_batch(batch, np.asarray(out["ligand_coords"]))
+        meter.update_batch(batch, np.asarray(out["ligand_coords"]),
+                           meter_interface=True)
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     lig_med, _, crmsd_median = meter.summarize("median")
     lig_mean, _, crmsd_mean = meter.summarize("mean")
     avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
-               ligand_rmsd_median=lig_med, ligand_rmsd_mean=lig_mean)
+               ligand_rmsd_median=lig_med, ligand_rmsd_mean=lig_mean,
+               interface_rmsd_median=meter.summarize_interface("median"),
+               interface_rmsd_mean=meter.summarize_interface("mean"))
     return avg
+
+
+def selection_value(va: Dict[str, float], metric: str) -> float:
+    """Scalar the early-stopping rule minimizes. 'crmsd' is the reference's
+    rule (val complex-RMSD median, train.py:372); 'irmsd' selects on the
+    interface metric; 'sum' on their sum (equal weight, both in Angstrom)."""
+    if metric == "crmsd":
+        return va["complex_rmsd_median"]
+    if metric == "irmsd":
+        return va["interface_rmsd_median"]
+    if metric == "sum":
+        return va["complex_rmsd_median"] + va["interface_rmsd_median"]
+    raise ValueError(f"unknown select_metric {metric!r}")
 
 
 def fit(cfg: Config, state: Optional[TrainState] = None,
@@ -233,8 +251,9 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         rss = host_rss_gb()
         log(f"[VAL]   epoch {epoch} loss {va['loss']:.4f} "
             f"crmsd med {va['complex_rmsd_median']:.4f} "
-            f"mean {va['complex_rmsd_mean']:.4f} time {time.time()-t0:.1f}s "
-            f"rss {rss:.1f}G")
+            f"mean {va['complex_rmsd_mean']:.4f} "
+            f"irmsd med {va['interface_rmsd_median']:.4f} "
+            f"time {time.time()-t0:.1f}s rss {rss:.1f}G")
         if rss > 0.0:
             tb.add_scalar("host/" + tb_banner + "rss_gb", rss, epoch)
             total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 1e9
@@ -262,17 +281,22 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
                 (epoch + 1) % cfg.train.save_every_epochs == 0:
             save_checkpoint(ckpt_path + "_latest", state, cfg, epoch)
 
-        # 0.98-improvement rule (train.py:372-377)
-        if va["complex_rmsd_median"] < best_val * 0.98:
-            best_val = va["complex_rmsd_median"]
+        # 0.98-improvement rule (train.py:372-377). The selection value is
+        # val CRMSD median by default (the reference's rule); `-select_metric
+        # irmsd` selects on the interface metric, `sum` on CRMSD+IRMSD (both
+        # in A) — used by the single-checkpoint-both-metrics campaign.
+        sel = selection_value(va, cfg.train.select_metric)
+        if sel < best_val * 0.98:
+            best_val = sel
             best_epoch = epoch
             patience_left = cfg.train.patience
             save_checkpoint(ckpt_path, state, cfg, epoch)
-            log(f"  saved best checkpoint (val crmsd median {best_val:.4f})")
+            log(f"  saved best checkpoint (val {cfg.train.select_metric} "
+                f"{best_val:.4f})")
         else:
             patience_left -= 1
-        log(f"[BEST] epoch {best_epoch} val crmsd median {best_val:.4f} "
-            f"patience left {patience_left}")
+        log(f"[BEST] epoch {best_epoch} val {cfg.train.select_metric} "
+            f"{best_val:.4f} patience left {patience_left}")
         if patience_left <= 0:
             log("Early stopping.")
             break

@@ -33,6 +33,9 @@ class RmsdMeter:
 
     def __init__(self):
         self.ligand, self.receptor, self.complex = [], [], []
+        # interface RMSD (eval_pdb_outputset.py:80-94 semantics), filled only
+        # by update_batch(meter_interface=True); empty otherwise
+        self.interface = []
 
     def update(self, lig_pred, rec_pred, lig_true, rec_true) -> float:
         l, r, c = complex_rmsd(np.asarray(lig_pred), np.asarray(rec_pred),
@@ -42,8 +45,14 @@ class RmsdMeter:
         self.complex.append(c)
         return c
 
-    def update_batch(self, batch, lig_pred_padded: np.ndarray) -> None:
-        """Meter every valid complex of a padded PairBatch."""
+    def update_batch(self, batch, lig_pred_padded: np.ndarray,
+                     meter_interface: bool = False) -> None:
+        """Meter every valid complex of a padded PairBatch.
+
+        With `meter_interface`, also records interface RMSD — same restricted
+        to ground-truth CA pairs at distance < 8 A (the offline evaluator's
+        IRMSD, `eval_pdb_outputset.py:80-94`) — enabling val-time model
+        selection on the interface metric."""
         lig_mask = np.asarray(batch.lig.node_mask)
         rec_mask = np.asarray(batch.rec.node_mask)
         pair_mask = np.asarray(batch.pair_mask)
@@ -56,6 +65,22 @@ class RmsdMeter:
             nr = int(rec_mask[b].sum())
             self.update(lig_pred_padded[b, :nl], rec_x[b, :nr],
                         gt_lig[b, :nl], rec_x[b, :nr])
+            if meter_interface:
+                d = np.linalg.norm(gt_lig[b, :nl, None, :]
+                                   - rec_x[b, None, :nr, :], axis=-1)
+                ai, aj = np.where(d < 8.0)
+                if ai.size == 0:
+                    continue
+                _, _, irmsd = complex_rmsd(
+                    lig_pred_padded[b, :nl][ai], rec_x[b, :nr][aj],
+                    gt_lig[b, :nl][ai], rec_x[b, :nr][aj])
+                self.interface.append(irmsd)
+
+    def summarize_interface(self, reduction: str = "median") -> float:
+        red = np.median if reduction == "median" else np.mean
+        if not self.interface:
+            return float("nan")
+        return float(red(self.interface))
 
     def summarize(self, reduction: str = "median"):
         red = np.median if reduction == "median" else np.mean

@@ -71,6 +71,12 @@ def step_body(
     metrics = dict(metrics)
     metrics["grad_norm"] = gnorm
     metrics["clipped"] = (gnorm > cfg.train.clip).astype(jnp.float32)
+    # Expose the training forward's predicted coords so the epoch loop can
+    # meter train RMSD from THIS forward instead of re-running eval_step —
+    # the reference meters from the same forward too (`train.py:133-137`).
+    # Stays on device unless the host actually reads it.
+    if isinstance(out, dict) and "ligand_coords" in out:
+        metrics["ligand_coords"] = out["ligand_coords"]
     return TrainState(params, opt_state, state.step + 1, bn_state), metrics
 
 
