@@ -58,7 +58,13 @@ def main():
         members = [tuple(a.split(":")) for a in sys.argv[1:]]
     members = [(d, s) for d, s in members
                if os.path.isdir(d) and stems(d, s)]
-    print(f"# fusing {len(members)} members: {[d for d, _ in members]}")
+    # drop members whose stem set is incomplete (e.g. a replicate dir still
+    # being written): a partial member would otherwise crash mid-loop or
+    # silently change which members the reported numbers average over
+    full = max(len(stems(d, s)) for d, s in members)
+    members = [(d, s) for d, s in members if len(stems(d, s)) == full]
+    print(f"# fusing {len(members)} members ({full} stems each): "
+          f"{[d for d, _ in members]}")
 
     meter, imeter = RmsdMeter(), RmsdMeter()
     per_member = [(RmsdMeter(), RmsdMeter()) for _ in members]

@@ -7,9 +7,16 @@ cd /root/repo
 Q=results/round2_queue
 log() { echo "[stage14] $(date '+%H:%M:%S') $*" >> $Q/queue.log; }
 
+CACHE=./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/cv_0/train.npz
+if [ ! -f "$CACHE" ]; then
+  echo "FATAL: train cache missing ($CACHE) — run cli.preprocess first" >&2
+  exit 1
+fi
+
 run_trial() {
   NAME=$1; SEED=$2; HID=$3; EMB=$4; LAYS=$5; MAXS=$6; shift 6
   log "$NAME: hid=$HID emb=$EMB lays=$LAYS seed=$SEED max_s=$MAXS $*"
+  rm -rf "./checkpts_small/$NAME"
   timeout $((MAXS + 600)) python -m equidock_public_tpu.cli.train -toy -data db5 \
     -iegmn_lay_hid_dim "$HID" -residue_emb_dim "$EMB" -iegmn_n_lays "$LAYS" \
     -num_att_heads 8 "$@" \
@@ -18,8 +25,10 @@ run_trial() {
     -node_buckets 512,1024,2048,3072 -pocket_buckets 256,512,1024 \
     -cache_dir ./cache -checkpoint_dir "./checkpts_small/$NAME" \
     -compile_cache ./jax_cache > "$Q/stage14_$NAME.log" 2>&1
-  log "$NAME train exit=$?"
-  CKPT=$(ls -d ./checkpts_small/$NAME/*/db5_model_best 2>/dev/null | head -1)
+  RC=$?
+  log "$NAME train exit=$RC"
+  if [ "$RC" -ne 0 ]; then log "$NAME: ABORTED (train failed)"; return 1; fi
+  CKPT=$(ls -dt ./checkpts_small/$NAME/*/db5_model_best 2>/dev/null | head -1)
   if [ -z "$CKPT" ]; then log "$NAME: no checkpoint"; return; fi
   OUT="results/db5_small_$NAME"
   mkdir -p "$OUT"

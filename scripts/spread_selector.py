@@ -35,10 +35,17 @@ def load(mdir, stem):
 
 
 def main():
-    reps = [d for d in REPLICATES if os.path.isdir(d) and os.listdir(d)]
     tail = f"_l_b_{SUFFIX}.pdb"
-    stems = sorted(f[: -len(tail)] for f in os.listdir(SMALL)
-                   if f.endswith(tail))
+
+    def dir_stems(d):
+        return set(f[: -len(tail)] for f in os.listdir(d) if f.endswith(tail))
+
+    stems = sorted(dir_stems(SMALL))
+    # only complete replicate dirs: a partial member (mid-inference) would
+    # crash, and a silently-grown member set would change the reported spread
+    reps = [d for d in REPLICATES
+            if os.path.isdir(d) and dir_stems(d) >= set(stems)]
+    print(f"# replicates ({len(reps)}): {reps}")
 
     rows = []
     for stem in stems:
