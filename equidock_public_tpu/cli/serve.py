@@ -12,8 +12,10 @@ Protocol: one JSON object per stdin line
 import argparse
 import json
 import sys
+import time
 
 import jax
+import numpy as np
 
 from ..eval.inference import dock_one
 from ..models.iegmn import docking_forward, init_docking_model
@@ -21,10 +23,41 @@ from ..train.checkpoint import load_checkpoint
 from ._common import add_config_args, config_from_args
 
 
+def _warmup_batch(cfg, n_lig: int, n_rec: int):
+    """Synthetic one-complex batch at exactly (n_lig, n_rec) padded nodes —
+    the same shapes `dock_one` produces for proteins in those buckets."""
+    from ..data.featurize import ProteinGraph
+    from ..data.synth import synth_graph
+    from ..graph import collate
+
+    rng = np.random.default_rng(0)
+
+    def graph(n):
+        d = synth_graph(rng, n, k=cfg.graph.graph_max_neighbor)
+        e = np.zeros(0, np.int32)
+        return ProteinGraph(res_id=d["res_id"], x=d["x"],
+                            mu_r_norm=d["mu_r_norm"], nbr=d["nbr"],
+                            nbr_mask=d["nbr_mask"], edge_feat=d["edge_feat"],
+                            src=e, dst=e)
+
+    lg, rg = graph(n_lig), graph(n_rec)
+    # graphs are sized exactly to their buckets, so bucket_for resolves each
+    # side to its own size (buckets must be ascending)
+    buckets = tuple(sorted({n_lig, n_rec}))
+    return collate([lg], [rg], [lg.x], [lg.x],
+                   [np.zeros((4, 3), np.float32)],
+                   [np.zeros((4, 3), np.float32)],
+                   buckets, cfg.data.pocket_buckets)
+
+
 def main():
     p = argparse.ArgumentParser(description="EquiDock-TPU docking server")
     add_config_args(p)
     p.add_argument("-checkpoint", default="")
+    p.add_argument("-warmup_buckets", default="",
+                   help="comma-separated node bucket sizes to pre-jit at "
+                        "startup (all ligand x receptor pairs), so the first "
+                        "request per shape doesn't pay compile latency")
     a = p.parse_args()
     cfg = config_from_args(a)
     if a.checkpoint:
@@ -45,6 +78,22 @@ def main():
 
     forward_fn = jax.jit(
         lambda p, b: docking_forward(p, cfg.model, b, bn_state=bn_state))
+
+    if a.warmup_buckets:
+        # Pre-jit every (ligand, receptor) bucket-pair shape the server may
+        # see so no request pays first-compile latency. One synthetic batch
+        # per pair; compiles land in the persistent jax compilation cache.
+        sizes = tuple(int(x) for x in a.warmup_buckets.split(","))
+        t0 = time.time()
+        n_warmed = 0
+        for bl in sizes:
+            for br in sizes:
+                batch = _warmup_batch(cfg, bl, br)
+                jax.block_until_ready(forward_fn(params, batch))
+                n_warmed += 1
+        print(json.dumps({"warmed": n_warmed,
+                          "seconds": round(time.time() - t0, 2)}), flush=True)
+
     print(json.dumps({"ready": True}), flush=True)
 
     for line in sys.stdin:

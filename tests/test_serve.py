@@ -39,3 +39,28 @@ def test_serve_round_trip(tmp_path):
     bad = [l for l in lines if l.get("ok") is False]
     assert len(ok) == 1 and os.path.exists(ok[0]["output"])
     assert len(bad) == 1 and "FileNotFoundError" in bad[0]["error"]
+
+
+def test_serve_warmup(tmp_path):
+    """-warmup_buckets pre-jits the bucket pairs: the warmed line reports 4
+    compiles for 2 buckets, and the warmed request's latency is far below its
+    own shape's compile time (it reuses the warmed executable)."""
+    out = str(tmp_path / "out.pdb")
+    req = json.dumps({"ligand": LIG, "receptor": REC, "output": out})
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "equidock_public_tpu.cli.serve",
+         "-checkpoint", ARTIFACT, "-node_buckets", "512,1024",
+         "-pocket_buckets", "256", "-warmup_buckets", "512,1024"],
+        input=req, capture_output=True, text=True, timeout=600, env=env)
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.strip()]
+    warmed = [l for l in lines if "warmed" in l]
+    assert warmed and warmed[0]["warmed"] == 4
+    ok = [l for l in lines if l.get("ok") is True]
+    assert len(ok) == 1 and os.path.exists(ok[0]["output"])
+    # 7CEI is 127/87 residues -> (512, 512) buckets, which warmup compiled;
+    # the request should run in a fraction of the per-pair warmup time
+    per_pair_compile = warmed[0]["seconds"] / 4
+    assert ok[0]["seconds"] < max(1.0, 0.5 * per_pair_compile)
