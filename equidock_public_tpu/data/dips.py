@@ -49,20 +49,46 @@ def residues_from_dataframe(df) -> List[GroupedResidue]:
     return out
 
 
+def _normalize_dips_df(df):
+    """DIPS dills use the atom3 column convention (aid/atom_name/chain/
+    residue/resname/x/y/z/element); biopandas-style names are tolerated
+    (rename of an absent column is a no-op)."""
+    return df.rename(columns={
+        "chain_id": "chain", "residue_number": "residue",
+        "residue_name": "resname", "x_coord": "x", "y_coord": "y",
+        "z_coord": "z", "element_symbol": "element"})
+
+
+def read_dips_pair_tables(dill_path: str):
+    """One DIPS pair pickle -> (ligand, receptor) full-atom AtomTables —
+    the test-set generator needs ALL atoms, not the N/CA/C-filtered residue
+    view (`testset_random_transf.py:97-141` writes every df0/df1 atom)."""
+    import pandas as pd
+
+    from .pdb import build_atom_table
+
+    x = pd.read_pickle(dill_path)
+
+    def table(df):
+        df = _normalize_dips_df(df)
+        coords = np.stack([df["x"].to_numpy(), df["y"].to_numpy(),
+                           df["z"].to_numpy()], axis=1).astype(np.float32)
+        return build_atom_table(
+            df["atom_name"].to_numpy(), df["resname"].to_numpy(),
+            df["chain"].to_numpy(),
+            df["residue"].to_numpy().astype(np.int64),
+            coords, df["element"].to_numpy())
+
+    return table(x.df0), table(x.df1)
+
+
 def read_dips_pair(dill_path: str) -> Tuple[List[GroupedResidue], List[GroupedResidue]]:
     """One DIPS pair pickle -> (ligand residues [df0], receptor residues [df1])."""
     import pandas as pd
 
     x = pd.read_pickle(dill_path)
-    df0 = x.df0.rename(columns={
-        "chain_id": "chain", "residue_number": "residue",
-        "residue_name": "resname", "x_coord": "x", "y_coord": "y",
-        "z_coord": "z", "element_symbol": "element"})
-    df1 = x.df1.rename(columns={
-        "chain_id": "chain", "residue_number": "residue",
-        "residue_name": "resname", "x_coord": "x", "y_coord": "y",
-        "z_coord": "z", "element_symbol": "element"})
-    return residues_from_dataframe(df0), residues_from_dataframe(df1)
+    return (residues_from_dataframe(_normalize_dips_df(x.df0)),
+            residues_from_dataframe(_normalize_dips_df(x.df1)))
 
 
 def _process_dips_one(task) -> Optional[ComplexSample]:

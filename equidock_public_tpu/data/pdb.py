@@ -114,6 +114,36 @@ def write_pdb_renumbered(path: str, table: AtomTable,
 GroupedResidue = Tuple[Tuple[str, int, str], dict]
 
 
+def build_atom_table(atom_name, resname, chain, residue, coords,
+                     element) -> AtomTable:
+    """Construct an AtomTable from raw field arrays, synthesizing the
+    fixed-column ATOM lines so the standard writers apply. Used for sources
+    that aren't PDB files — e.g. DIPS pair pickles (the reference builds a
+    biopandas frame the same way, `testset_random_transf.py:106-135`)."""
+    coords = np.asarray(coords, dtype=np.float32)
+    n = coords.shape[0]
+    lines = []
+    for i in range(n):
+        name = str(atom_name[i])
+        # PDB convention: atom names shorter than 4 chars start in column 14
+        name_f = name if len(name) >= 4 else f" {name:<3s}"
+        lines.append(
+            f"ATOM  {i + 1:5d} {name_f}{'':1s}{str(resname[i])[:3]:>3s} "
+            f"{str(chain[i])[:1]:1s}{int(residue[i]):4d}{'':4s}"
+            f"{coords[i, 0]:8.3f}{coords[i, 1]:8.3f}{coords[i, 2]:8.3f}"
+            f"{1.0:6.2f}{0.0:6.2f}{'':10s}{str(element[i])[:2]:>2s}")
+    return AtomTable(
+        atom_name=np.asarray(atom_name, dtype=str),
+        resname=np.asarray(resname, dtype=str),
+        chain=np.asarray([str(c)[:1] for c in chain], dtype=str),
+        residue=np.asarray(residue, dtype=np.int64),
+        insertion=np.asarray([""] * n, dtype=str),
+        coords=coords,
+        element=np.asarray(element, dtype=str),
+        lines=lines,
+    )
+
+
 def group_residues(table: AtomTable) -> List[GroupedResidue]:
     """Group atoms by (chain, residue number, resname), sorted by key.
 

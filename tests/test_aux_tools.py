@@ -68,6 +68,57 @@ def test_testset_generator_db5(tmp_path):
     assert np.linalg.norm(tr.coords - orig.coords) > 0.1
 
 
+def test_testset_generator_dips_on_synthetic_tree(tmp_path):
+    """`testset_gen -dataset dips` end-to-end on a synthetic dill tree:
+    family-round-robin sampling (`testset_random_transf.py:66-96`), full-atom
+    COMPLEX + randomly-transformed outputs, readable by our PDB pipeline."""
+    from equidock_public_tpu.cli.testset_gen import (main_dips,
+                                                     sample_dips_round_robin)
+
+    data = tmp_path / "pairs-pruned"
+    names = []
+    for fi in range(4):
+        fam = f"fam{fi}"
+        (data / fam).mkdir(parents=True)
+        # uneven family sizes: fam0 has 4 pairs, others 1 each
+        for pi in range(4 if fi == 0 else 1):
+            name = f"{fam}/p{pi}.dill"
+            pd.to_pickle(_FakePair(), data / name)
+            names.append(name)
+    split = tmp_path / "pairs-postprocessed-test.txt"
+    split.write_text("\n".join(names) + "\n")
+
+    # sampler: round-robin draws one per family per cycle, skips exhausted
+    # families, and stops early when the split runs out
+    import random as pyrandom
+    sel = sample_dips_round_robin(str(split), 6, pyrandom.Random(0).shuffle)
+    assert len(sel) == 6 and len(set(sel)) == 6
+    assert [s.split("/")[0] for s in sel[:4]] == ["fam0", "fam1", "fam2", "fam3"]
+    assert all(s.startswith("fam0/") for s in sel[4:])  # others exhausted
+    assert sample_dips_round_robin(str(split), 100,
+                                   pyrandom.Random(0).shuffle) == \
+        sample_dips_round_robin(str(split), 100, pyrandom.Random(0).shuffle)
+
+    out = tmp_path / "out"
+    rng = np.random.default_rng(3)
+    main_dips(str(data), str(split), str(out), rng, num_complexes=3, seed=1)
+    written = sorted(os.listdir(out))
+    assert len(written) == 3 * 4  # l/r x COMPLEX/transformed per pair
+    stem = written[0].split("_l_b")[0].split("_r_b")[0]
+    gt = read_pdb(str(out / f"{stem}_l_b_COMPLEX.pdb"))
+    tr = read_pdb(str(out / f"{stem}_l_b.pdb"))
+    assert len(gt) == 20 and len(tr) == 20          # 5 residues x 4 atoms
+    assert gt.residue[0] == 1 and gt.residue[-1] == 5  # renumbered from 1
+    assert list(gt.atom_name[:4]) == ["N", "CA", "C", "O"]
+    # transformed: rigid (pairwise distance preserved) and actually moved
+    d_gt = np.linalg.norm(gt.coords[0] - gt.coords[-1])
+    d_tr = np.linalg.norm(tr.coords[0] - tr.coords[-1])
+    np.testing.assert_allclose(d_tr, d_gt, atol=1e-2)
+    assert np.linalg.norm(tr.coords - (gt.coords - gt.coords.mean(0))) > 0.1
+    # the generated set feeds straight back into the CA pipeline
+    assert ca_coords(gt).shape == (5, 3)
+
+
 def test_align_receptor_roundtrip(tmp_path):
     """Transform a ligand+receptor pair rigidly, then verify the aligner
     recovers the ground-truth frame."""
