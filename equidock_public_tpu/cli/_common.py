@@ -105,6 +105,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                    help="comma-separated padding buckets for node counts; "
                         "coarser buckets = fewer XLA compiles")
     p.add_argument("-pocket_buckets", default="")
+    p.add_argument("-pack", action="store_true",
+                   help="bin-pack several small complexes into one padded "
+                        "slot (seg-masked attention/losses; cuts the padding "
+                        "floor on real epochs)")
+    p.add_argument("-pack_max_per_slot", type=int, default=4)
     p.add_argument("-debug", action="store_true")
     p.add_argument("-checkpoint_dir", default="./checkpts")
 
@@ -154,5 +159,6 @@ def config_from_args(a: argparse.Namespace) -> Config:
             **({"node_buckets": tuple(int(x) for x in a.node_buckets.split(","))}
                if a.node_buckets else {}),
             **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
-               if a.pocket_buckets else {})),
+               if a.pocket_buckets else {}),
+            pack=a.pack, pack_max_per_slot=a.pack_max_per_slot),
         debug=a.debug, checkpoint_dir=a.checkpoint_dir)

@@ -18,7 +18,8 @@ import glob
 import json
 import os
 
-from ..utils.padding import compare_policies, waste_report
+from ..utils.padding import (compare_policies, waste_report,
+                             waste_report_packed)
 from ._common import add_config_args, config_from_args
 
 CANDIDATES = {
@@ -77,15 +78,23 @@ def main():
 
     report = {"bs": cfg.train.bs}
     db5 = db5_sizes(cfg)
+    def packed_rows(sizes):
+        return {f"packed_c{c}": waste_report_packed(
+                    sizes, cfg.data.node_buckets, cfg.train.bs, c,
+                    cfg.data.slot_count_buckets)
+                for c in (2, 4, 6)}
+
     if db5:
         report["db5_train"] = {
             "n_complexes": len(db5),
-            "policies": compare_policies(db5, cfg.train.bs, policies)}
+            "policies": compare_policies(db5, cfg.train.bs, policies),
+            **packed_rows(db5)}
     if os.path.isdir(a.dips_dir):
         dips = dips_sizes(a.dips_dir)
         report["dips_test"] = {
             "n_complexes": len(dips),
-            "policies": compare_policies(dips, cfg.train.bs, policies)}
+            "policies": compare_policies(dips, cfg.train.bs, policies),
+            **packed_rows(dips)}
     print(json.dumps(report, indent=2))
 
 

@@ -142,6 +142,14 @@ class DataConfig:
     node_buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
     pocket_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
     swap_train: bool = True          # 50% ligand/receptor swap (db5_data.py:174-188)
+    # Complex packing: bin-pack several small complexes into one padded slot
+    # (block-diagonal neighbor tables + seg-masked attention/losses) — kills
+    # the smaller-side-pads-to-chunk-max padding floor (PERF.md). The batch
+    # still holds `bs` complexes; packing only reduces the padded slots they
+    # occupy, so optimizer-step semantics are unchanged.
+    pack: bool = False
+    pack_max_per_slot: int = 4
+    slot_count_buckets: Tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,7 +22,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import Config
-from ..graph import PadCache, PairBatch, collate
+from ..graph import PadCache, PairBatch, collate, collate_packed
 from .featurize import (ProteinGraph, alpha_carbon_array, build_protein_graph,
                         extract_pocket, filter_residues,
                         uniform_rotation_translation)
@@ -209,10 +209,19 @@ class DockingDataset:
         chunks = [order[i:i + bs] for i in range(0, len(order), bs)]
         if shuffle:
             rng.shuffle(chunks)
+        pack = self.cfg.data.pack
         for chunk in chunks:
             items = [self.sample(int(i), rng) for i in chunk]
             ligs, recs, new_xs, gts, pls, prs = zip(*items)
-            yield collate(ligs, recs, new_xs, gts, pls, prs,
-                          self.cfg.data.node_buckets,
-                          self.cfg.data.pocket_buckets, batch_size=bs,
-                          pad_cache=self._pad_cache)
+            if pack and self.cfg.data.pack_max_per_slot > 1:
+                yield collate_packed(ligs, recs, new_xs, gts, pls, prs,
+                                     self.cfg.data.node_buckets,
+                                     self.cfg.data.pocket_buckets,
+                                     self.cfg.data.pack_max_per_slot,
+                                     self.cfg.data.slot_count_buckets,
+                                     pad_cache=self._pad_cache)
+            else:
+                yield collate(ligs, recs, new_xs, gts, pls, prs,
+                              self.cfg.data.node_buckets,
+                              self.cfg.data.pocket_buckets, batch_size=bs,
+                              pad_cache=self._pad_cache)

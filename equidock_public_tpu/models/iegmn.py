@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..graph import PairBatch, ProteinBatch
 from ..ops.attention import cross_attention
-from ..ops.kabsch import apply_rigid, rigid_fit
+from ..ops.kabsch import apply_rigid, apply_rigid_packed, rigid_fit
 from ..ops.segment import gather_neighbors, masked_mean_over_k, masked_mean_over_nodes
 from .layers import (BNContext, Params, dropout, embedding, graph_norm,
                      init_bn_state as _init_bn_site, init_embedding,
@@ -346,12 +346,14 @@ def iegmn_layer_forward(
     def kk(h):
         return nonlin(linear(p["att_k"], h, cfg.dtype), cfg.nonlin, cfg.leakyrelu_neg_slope)
 
+    packed = lig.seg_id is not None
     if attend is not None:
+        assert not packed, "halo path does not support packed slots"
         cross_l = attend(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
                          lig.node_mask, rec.node_mask, cfg.cross_msgs)
         cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
                          rec.node_mask, lig.node_mask, cfg.cross_msgs)
-    elif cfg.use_fused_attention and cfg.cross_msgs:
+    elif cfg.use_fused_attention and cfg.cross_msgs and not packed:
         from ..ops.pallas.cross_attention import cross_attention_fused
 
         interp = jax.default_backend() == "cpu"
@@ -361,10 +363,15 @@ def iegmn_layer_forward(
         cross_r = fused(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
                         rec.node_mask, lig.node_mask)
     else:
+        # packed slots restrict attention to same-complex pairs (seg mask);
+        # the fused Pallas kernel doesn't take a seg mask, so packed batches
+        # use the XLA path
         cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
-                                  lig.node_mask, rec.node_mask, cfg.cross_msgs)
+                                  lig.node_mask, rec.node_mask, cfg.cross_msgs,
+                                  q_seg=lig.seg_id, k_seg=rec.seg_id)
         cross_r = cross_attention(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
-                                  rec.node_mask, lig.node_mask, cfg.cross_msgs)
+                                  rec.node_mask, lig.node_mask, cfg.cross_msgs,
+                                  q_seg=rec.seg_id, k_seg=lig.seg_id)
     rec_stat("aggr_cross_msg", cross_l, lig.node_mask[..., None])
 
     # Coordinate update (`rigid_docking_model.py:263-292`)
@@ -401,10 +408,17 @@ def iegmn_layer_forward(
                        cfg.leakyrelu_neg_slope)
             return linear(p["ft_att_v2"], z)
 
-        ft_attend = attend if attend is not None else cross_attention
+        if attend is not None:
+            ft_attend = attend
+        else:
+            ft_attend = functools.partial(cross_attention, q_seg=lig.seg_id,
+                                          k_seg=rec.seg_id)
         att_x_l = ft_attend(ft_qk(h_l, "ft_att_q"), ft_qk(h_r, "ft_att_k"),
                             x_r, lig.node_mask, rec.node_mask, cfg.cross_msgs)
         x_final_l = x_final_l + ft_v(h_l) * (x_l - att_x_l)
+        if attend is None:
+            ft_attend = functools.partial(cross_attention, q_seg=rec.seg_id,
+                                          k_seg=lig.seg_id)
         att_x_r = ft_attend(ft_qk(h_r, "ft_att_q"), ft_qk(h_l, "ft_att_k"),
                             x_l, rec.node_mask, lig.node_mask, cfg.cross_msgs)
         x_final_r = x_final_r + ft_v(h_r) * (x_r - att_x_r)
@@ -419,6 +433,11 @@ def iegmn_layer_forward(
         if cfg.final_h_layer_norm == "LN":
             upd = layer_norm(p["final_h_norm"], upd)
         elif cfg.final_h_layer_norm == "GN":
+            if packed:
+                raise ValueError(
+                    "final_h_layer_norm='GN' normalizes per graph and is not "
+                    "segment-aware; train packed batches with 'LN'/'0' (the "
+                    "paper configs never use GN: args.py:272-275)")
             upd = graph_norm(p["final_h_norm"], upd, side.node_mask,
                              axis=gn_axis)
         elif cfg.final_h_layer_norm == "BN":
@@ -531,47 +550,76 @@ def iegmn_forward(
             (x_l, h_l, x_r, h_r), _ = jax.lax.scan(
                 body, (x_l, h_l, x_r, h_r), (stacked, idxs))
 
+    lig_oh = lig.seg_onehot(batch.n_segs) if batch.n_segs > 1 else None
+    rec_oh = rec.seg_onehot(batch.n_segs) if batch.n_segs > 1 else None
     return keypoint_head(p, cfg, h_l, x_l, h_r, x_r,
-                         lig.node_mask, rec.node_mask, rng, train)
+                         lig.node_mask, rec.node_mask, rng, train,
+                         lig_oh=lig_oh, rec_oh=rec_oh)
 
 
 def keypoint_head(p: Params, cfg: ModelConfig, h_l, x_l, h_r, x_r,
-                  lig_mask, rec_mask, rng=None, train: bool = False):
+                  lig_mask, rec_mask, rng=None, train: bool = False,
+                  lig_oh=None, rec_oh=None):
     """Attention-pooled keypoints + batched Kabsch fit
     (`rigid_docking_model.py:521-589`), fully batched over B. Shared by the
-    dense trunk and the node-sharded halo trunk (which gathers h/x first)."""
+    dense trunk and the node-sharded halo trunk (which gathers h/x first).
+
+    Packed slots (lig_oh/rec_oh = (B, N, C) seg one-hots): pooling, keypoint
+    attention and the Kabsch fit all run per packed complex — returns
+    R (B, C, 3, 3), t (B, C, 1, 3), keypts (B, C, H, 3) instead of the
+    unpacked (B, 3, 3) / (B, 1, 3) / (B, H, 3)."""
     d = cfg.iegmn_lay_hid_dim
     H = cfg.num_att_heads
+    packed = lig_oh is not None
     # independent dropout draws per side (the reference's two separate torch
     # dropout calls, `rigid_docking_model.py:540-547`)
     hrng_l = jax.random.fold_in(rng, 10_000) if rng is not None else None
     hrng_r = jax.random.fold_in(rng, 10_001) if rng is not None else None
 
-    def h_mean(h, mask, rng_):
+    def h_mean(h, mask, oh, rng_):
         z = linear(p["mlp_h_mean_rot"], h, cfg.dtype)
         z = dropout(z, cfg.dropout, rng_, train)
         z = nonlin(z, cfg.nonlin, cfg.leakyrelu_neg_slope)
-        return masked_mean_over_nodes(z, mask)                  # (B, d)
+        if not packed:
+            return masked_mean_over_nodes(z, mask)              # (B, d)
+        total = jnp.einsum("bnd,bnc->bcd", z, oh)               # (B, C, d)
+        return total / jnp.maximum(jnp.sum(oh, axis=1)[..., None], 1.0)
 
-    mean_l = h_mean(h_l, lig_mask, hrng_l)
-    mean_r = h_mean(h_r, rec_mask, hrng_r)
+    mean_l = h_mean(h_l, lig_mask, lig_oh, hrng_l)
+    mean_r = h_mean(h_r, rec_mask, rec_oh, hrng_r)
 
-    def keypoints(h_side, x_side, mask_side, mean_other):
+    def keypoints(h_side, x_side, mask_side, oh_side, mean_other):
         keys = linear(p["att_key_rot"], h_side, cfg.dtype).reshape(
             h_side.shape[0], -1, H, d)                          # (B, N, H, d)
+        if not packed:
+            query = linear(p["att_query_rot"], mean_other, cfg.dtype).reshape(
+                -1, H, d)                                       # (B, H, d)
+            logits = jnp.einsum("bnhd,bhd->bhn", keys, query,
+                                preferred_element_type=jnp.float32) / math.sqrt(d)
+            logits = jnp.where(mask_side[:, None, :] > 0, logits, -1e9)
+            att = jax.nn.softmax(logits, axis=-1)               # (B, H, N)
+            return jnp.einsum("bhn,bnc->bhc", att, x_side)      # (B, H, 3)
+        B, C = mean_other.shape[:2]
         query = linear(p["att_query_rot"], mean_other, cfg.dtype).reshape(
-            -1, H, d)                                           # (B, H, d)
-        logits = jnp.einsum("bnhd,bhd->bhn", keys, query,
+            B, C, H, d)                                         # (B, C, H, d)
+        logits = jnp.einsum("bnhd,bchd->bchn", keys, query,
                             preferred_element_type=jnp.float32) / math.sqrt(d)
-        logits = jnp.where(mask_side[:, None, :] > 0, logits, -1e9)
-        att = jax.nn.softmax(logits, axis=-1)                   # (B, H, N)
-        return jnp.einsum("bhn,bnc->bhc", att, x_side)          # (B, H, 3)
+        seg_ok = jnp.transpose(oh_side, (0, 2, 1))[:, :, None, :]  # (B,C,1,N)
+        logits = jnp.where(seg_ok > 0, logits, -1e9)
+        att = jax.nn.softmax(logits, axis=-1)                   # (B, C, H, N)
+        return jnp.einsum("bchn,bnx->bchx", att, x_side)        # (B, C, H, 3)
 
-    keypts_rec = keypoints(h_r, x_r, rec_mask, mean_l)
-    keypts_lig = keypoints(h_l, x_l, lig_mask, mean_r)
+    keypts_rec = keypoints(h_r, x_r, rec_mask, rec_oh, mean_l)
+    keypts_lig = keypoints(h_l, x_l, lig_mask, lig_oh, mean_r)
 
-    R, t = rigid_fit(keypts_lig, keypts_rec)
-    return R, t, keypts_lig, keypts_rec
+    if not packed:
+        R, t = rigid_fit(keypts_lig, keypts_rec)
+        return R, t, keypts_lig, keypts_rec
+    B, C = keypts_lig.shape[:2]
+    R, t = rigid_fit(keypts_lig.reshape(B * C, H, 3),
+                     keypts_rec.reshape(B * C, H, 3))
+    return (R.reshape(B, C, 3, 3), t.reshape(B, C, 1, 3),
+            keypts_lig, keypts_rec)
 
 
 def docking_forward(
@@ -600,15 +648,22 @@ def docking_forward(
     bn = BNContext(bn_state, train) if bn_state is not None else None
     trace: Optional[list] = [] if debug else None
     x_l = batch.lig.x
+    C = batch.n_segs
+
+    def apply(x, R, t):
+        if C == 1:
+            return apply_rigid(x, R, t)
+        return apply_rigid_packed(x, R, t, batch.lig.seg_id, C)
+
     if cfg.fine_tune and "finetune" in p:
         R0, t0, _, _ = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
                                      fine_tune=False, rng=rng, train=train,
                                      trace=trace, bn=bn, bn_scope="original/")
-        x_l = apply_rigid(x_l, R0, t0)
+        x_l = apply(x_l, R0, t0)
         R, t, kl, kr = iegmn_forward(p["finetune"], cfg, batch, x_l, 2,
                                      fine_tune=True, rng=rng, train=train,
                                      trace=trace, bn=bn, bn_scope="finetune/")
-        lig_pred = apply_rigid(x_l, R, t)
+        lig_pred = apply(x_l, R, t)
         # Return the COMPOSED transform so (R, t) always maps the ORIGINAL
         # input ligand to `ligand_coords`: x2 = R(R0 x + t0) + t
         # = (R R0) x + (R t0 + t). The reference returns only the stage-2
@@ -617,13 +672,13 @@ def docking_forward(
         # (`inference_rigid.py:202-203`) — that assert would fail on any
         # fine_tune checkpoint; composing fixes inference for FT models.
         R2, t2 = R, t
-        R = jnp.einsum("bij,bjk->bik", R2, R0)
-        t = jnp.einsum("bij,bnj->bni", R2, t0) + t2
+        R = jnp.einsum("...ij,...jk->...ik", R2, R0)
+        t = jnp.einsum("...ij,...nj->...ni", R2, t0) + t2
     else:
         R, t, kl, kr = iegmn_forward(p["original"], cfg, batch, x_l, n_lays,
                                      fine_tune=False, rng=rng, train=train,
                                      trace=trace, bn=bn, bn_scope="original/")
-        lig_pred = apply_rigid(x_l, R, t)
+        lig_pred = apply(x_l, R, t)
     out = {"ligand_coords": lig_pred, "keypts_lig": kl, "keypts_rec": kr,
            "R": R, "t": t}
     if debug:

@@ -41,3 +41,32 @@ def body_intersection_loss(
     mean_r = jnp.sum(pen_r * rec_mask, axis=1) / jnp.maximum(
         jnp.sum(rec_mask, axis=1), 1.0)
     return mean_l + mean_r
+
+
+def _g_fn_seg(protein, protein_oh, x, sigma):
+    """(B, M, C): per packed complex c, the soft-min field of `protein`'s
+    seg-c points evaluated at every x. protein_oh is (B, N, C)."""
+    d2 = jnp.sum((x[:, :, None, :] - protein[:, None, :, :]) ** 2, axis=-1)
+    e = jnp.exp(-d2 / float(sigma))                       # (B, M, N)
+    s = jnp.einsum("bmn,bnc->bmc", e, protein_oh)
+    return -sigma * jnp.log(1e-3 + s)
+
+
+def body_intersection_loss_packed(
+    lig: jnp.ndarray,        # (B, N_l, 3) predicted ligand coords (packed)
+    lig_oh: jnp.ndarray,     # (B, N_l, C) seg one-hot x node mask
+    rec: jnp.ndarray,        # (B, N_r, 3)
+    rec_oh: jnp.ndarray,     # (B, N_r, C)
+    sigma: float,
+    surface_ct: float,
+) -> jnp.ndarray:
+    """(B, C) per packed complex: same math as body_intersection_loss but the
+    soft-min field and the means are restricted to same-complex pairs (the
+    packed analogue of per-complex evaluation)."""
+    pen_l = jnp.maximum(surface_ct - _g_fn_seg(rec, rec_oh, lig, sigma), 0.0)
+    pen_r = jnp.maximum(surface_ct - _g_fn_seg(lig, lig_oh, rec, sigma), 0.0)
+    mean_l = jnp.einsum("blc,blc->bc", pen_l, lig_oh) / jnp.maximum(
+        jnp.sum(lig_oh, axis=1), 1.0)
+    mean_r = jnp.einsum("brc,brc->bc", pen_r, rec_oh) / jnp.maximum(
+        jnp.sum(rec_oh, axis=1), 1.0)
+    return mean_l + mean_r

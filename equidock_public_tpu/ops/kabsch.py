@@ -76,3 +76,15 @@ def rigid_fit(
 def apply_rigid(x: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """x (B, N, 3), R (B, 3, 3), t (B, 1, 3) -> R x + t."""
     return jnp.einsum("bij,bnj->bni", R, x) + t
+
+
+def apply_rigid_packed(x: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                       seg_id: jnp.ndarray, n_segs: int) -> jnp.ndarray:
+    """Per-node rigid transform for packed slots: node n of slot b gets its
+    own complex's (R, t). x (B, N, 3), R (B, C, 3, 3), t (B, C, 1, 3),
+    seg_id (B, N) -> (B, N, 3). C is small, so a one-hot contraction beats a
+    gather on TPU (stays in vector registers, no dynamic indexing)."""
+    oh = (seg_id[..., None] == jnp.arange(n_segs)).astype(x.dtype)  # (B,N,C)
+    Rx = jnp.einsum("bcij,bnj->bnci", R, x)
+    return (jnp.einsum("bnci,bnc->bni", Rx, oh)
+            + jnp.einsum("bckj,bnc->bnj", t, oh))

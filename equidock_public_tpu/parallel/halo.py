@@ -476,7 +476,11 @@ def halo_batch_pspec() -> HaloBatch:
 def shard_halo_batch(hb: HaloBatch, mesh: Mesh) -> HaloBatch:
     specs = halo_batch_pspec()
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), hb, specs,
+        # None pairs = absent optional fields (seg_id/seg_mask; the halo path
+        # is never packed) — pass through
+        lambda x, s: x if x is None else jax.device_put(
+            x, NamedSharding(mesh, s)),
+        hb, specs,
         is_leaf=lambda x: not isinstance(x, (HaloBatch, HaloPlan, PairBatch,
                                              ProteinBatch)))
 

@@ -65,7 +65,10 @@ def shard_batch(batch: PairBatch, mesh: Mesh,
     """Place a host PairBatch onto the mesh with the training shardings."""
     specs = batch_pspec(shard_nodes)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        # None pairs = absent optional fields (seg_id/seg_mask on unpacked
+        # batches) — pass through
+        lambda x, s: x if x is None else jax.device_put(
+            x, NamedSharding(mesh, s)),
         batch, specs,
         is_leaf=lambda x: not isinstance(x, (PairBatch, ProteinBatch)))
 

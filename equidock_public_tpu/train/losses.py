@@ -25,6 +25,16 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
     return se / jnp.maximum(3.0 * jnp.sum(mask, axis=1), 1.0)
 
 
+def masked_mse_packed(pred: jnp.ndarray, target: jnp.ndarray,
+                      oh: jnp.ndarray) -> jnp.ndarray:
+    """Per packed complex MSE: pred/target (B, N, 3), oh (B, N, C) seg
+    one-hot x node mask -> (B, C) (same per-complex normalization as
+    masked_mse, restricted to each complex's own nodes)."""
+    se = jnp.sum((pred - target) ** 2, axis=-1)             # (B, N)
+    per_seg = jnp.einsum("bn,bnc->bc", se, oh)
+    return per_seg / jnp.maximum(3.0 * jnp.sum(oh, axis=1), 1.0)
+
+
 def total_loss(
     outputs: Dict[str, jnp.ndarray],
     batch: PairBatch,
@@ -32,23 +42,52 @@ def total_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Scalar training loss + per-term metrics, batch-averaged over valid
     complexes (the reference divides by the batch length, `train.py:143-150`).
+
+    Packed batches (n_segs = C > 1): every term is computed per packed
+    complex (M = B * C of them) with the same per-complex normalizations as
+    the unpacked path, so a packed batch of the same complexes produces the
+    same loss as the unpacked batch (padding-invariance, extended to packing).
     """
     lig_pred = outputs["ligand_coords"]
-    pm = batch.pair_mask
+    C = batch.n_segs
+    pm = batch.complex_mask                                  # (M,)
     denom = jnp.maximum(jnp.sum(pm), 1.0)
 
-    lig_coors = masked_mse(lig_pred, batch.gt_lig, batch.lig.node_mask)
-
-    cost = (sq_dist_mat(batch.pocket_lig, outputs["keypts_lig"])
-            + sq_dist_mat(batch.pocket_rec, outputs["keypts_rec"]))
-    if tc.ot_solver == "exact":
-        ot = pocket_ot_loss_exact(cost, batch.pocket_mask)
+    if C == 1:
+        lig_coors = masked_mse(lig_pred, batch.gt_lig, batch.lig.node_mask)
+        keypts_l, keypts_r = outputs["keypts_lig"], outputs["keypts_rec"]
+        pocket_l, pocket_r = batch.pocket_lig, batch.pocket_rec
+        pocket_mask = batch.pocket_mask
     else:
-        ot = pocket_ot_loss(cost, batch.pocket_mask,
+        lig_oh = batch.lig.seg_onehot(C)
+        rec_oh = batch.rec.seg_onehot(C)
+        lig_coors = masked_mse_packed(lig_pred, batch.gt_lig,
+                                      lig_oh).reshape(-1)    # (M,)
+        B = lig_pred.shape[0]
+        H = outputs["keypts_lig"].shape[2]
+        P = batch.pocket_lig.shape[2]
+        keypts_l = outputs["keypts_lig"].reshape(B * C, H, 3)
+        keypts_r = outputs["keypts_rec"].reshape(B * C, H, 3)
+        pocket_l = batch.pocket_lig.reshape(B * C, P, 3)
+        pocket_r = batch.pocket_rec.reshape(B * C, P, 3)
+        pocket_mask = batch.pocket_mask.reshape(B * C, P)
+
+    cost = (sq_dist_mat(pocket_l, keypts_l)
+            + sq_dist_mat(pocket_r, keypts_r))
+    if tc.ot_solver == "exact":
+        ot = pocket_ot_loss_exact(cost, pocket_mask)
+    else:
+        ot = pocket_ot_loss(cost, pocket_mask,
                             epsilon=tc.sinkhorn_epsilon,
                             iters=tc.sinkhorn_iters)
 
-    if tc.use_fused_intersection:
+    if C > 1:
+        from ..ops.intersection import body_intersection_loss_packed
+
+        intersection = body_intersection_loss_packed(
+            lig_pred, lig_oh, batch.rec.x, rec_oh,
+            tc.intersection_sigma, tc.intersection_surface_ct).reshape(-1)
+    elif tc.use_fused_intersection:
         import jax
 
         from ..ops.pallas.softmin_field import body_intersection_loss_fused

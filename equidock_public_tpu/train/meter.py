@@ -55,26 +55,41 @@ class RmsdMeter:
         selection on the interface metric."""
         lig_mask = np.asarray(batch.lig.node_mask)
         rec_mask = np.asarray(batch.rec.node_mask)
-        pair_mask = np.asarray(batch.pair_mask)
         gt_lig = np.asarray(batch.gt_lig)
         rec_x = np.asarray(batch.rec.x)
+
+        def meter_one(lp, rp, lt, rt):
+            self.update(lp, rp, lt, rt)
+            if meter_interface:
+                d = np.linalg.norm(lt[:, None, :] - rt[None, :, :], axis=-1)
+                ai, aj = np.where(d < 8.0)
+                if ai.size:
+                    _, _, irmsd = complex_rmsd(lp[ai], rp[aj], lt[ai], rt[aj])
+                    self.interface.append(irmsd)
+
+        if batch.n_segs > 1:
+            # packed slots: extract each complex's own nodes via its seg id
+            seg_l = np.asarray(batch.lig.seg_id)
+            seg_r = np.asarray(batch.rec.seg_id)
+            seg_mask = np.asarray(batch.seg_mask)
+            for b in range(lig_mask.shape[0]):
+                for c in range(batch.n_segs):
+                    if seg_mask[b, c] == 0:
+                        continue
+                    il = np.where((lig_mask[b] > 0) & (seg_l[b] == c))[0]
+                    ir = np.where((rec_mask[b] > 0) & (seg_r[b] == c))[0]
+                    meter_one(lig_pred_padded[b, il], rec_x[b, ir],
+                              gt_lig[b, il], rec_x[b, ir])
+            return
+
+        pair_mask = np.asarray(batch.pair_mask)
         for b in range(lig_mask.shape[0]):
             if pair_mask[b] == 0:
                 continue
             nl = int(lig_mask[b].sum())
             nr = int(rec_mask[b].sum())
-            self.update(lig_pred_padded[b, :nl], rec_x[b, :nr],
-                        gt_lig[b, :nl], rec_x[b, :nr])
-            if meter_interface:
-                d = np.linalg.norm(gt_lig[b, :nl, None, :]
-                                   - rec_x[b, None, :nr, :], axis=-1)
-                ai, aj = np.where(d < 8.0)
-                if ai.size == 0:
-                    continue
-                _, _, irmsd = complex_rmsd(
-                    lig_pred_padded[b, :nl][ai], rec_x[b, :nr][aj],
-                    gt_lig[b, :nl][ai], rec_x[b, :nr][aj])
-                self.interface.append(irmsd)
+            meter_one(lig_pred_padded[b, :nl], rec_x[b, :nr],
+                      gt_lig[b, :nl], rec_x[b, :nr])
 
     def summarize_interface(self, reduction: str = "median") -> float:
         red = np.median if reduction == "median" else np.mean

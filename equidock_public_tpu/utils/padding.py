@@ -88,3 +88,42 @@ def compare_policies(sizes_lr: Sequence[Tuple[int, int]], bs: int,
     """`waste_report` for each named bucket policy on the same sizes."""
     return {name: waste_report(sizes_lr, buckets, bs)
             for name, buckets in policies.items()}
+
+
+def waste_report_packed(sizes_lr: Sequence[Tuple[int, int]],
+                        node_buckets: Sequence[int], bs: int,
+                        max_per_slot: int,
+                        slot_count_buckets: Sequence[int] = (1, 2, 3, 4, 5,
+                                                             6, 7, 8, 9, 10)
+                        ) -> Dict:
+    """Padded vs real node counts with complex packing enabled: replays the
+    exact packed-collate policy (size-sorted chunks of bs, `plan_packing`
+    first-fit-decreasing into slots, slot-count bucketing with fully-masked
+    padding slots)."""
+    from ..graph import plan_packing
+
+    shapes = set()
+    real_total = 0
+    padded_total = 0
+    slot_total = 0
+    for chunk in simulate_chunks(sizes_lr, bs):
+        nl = [l for l, _ in chunk]
+        nr = [r for _, r in chunk]
+        slots = plan_packing(nl, nr, tuple(node_buckets), max_per_slot,
+                             tuple(slot_count_buckets))
+        B = bucket_for(len(slots), tuple(slot_count_buckets))
+        b_l = bucket_for(max(sum(nl[i] for i in s) for s in slots),
+                         tuple(node_buckets))
+        b_r = bucket_for(max(sum(nr[i] for i in s) for s in slots),
+                         tuple(node_buckets))
+        shapes.add((B, b_l, b_r))
+        real_total += sum(nl) + sum(nr)
+        padded_total += B * (b_l + b_r)
+        slot_total += B
+    return {
+        "real_nodes": real_total,
+        "padded_nodes": padded_total,
+        "waste_pct": 100.0 * (1.0 - real_total / max(padded_total, 1)),
+        "slots": slot_total,
+        "distinct_shapes": len(shapes),
+    }
