@@ -110,6 +110,10 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                         "slot (seg-masked attention/losses; cuts the padding "
                         "floor on real epochs)")
     p.add_argument("-pack_max_per_slot", type=int, default=4)
+    p.add_argument("-stream_dips", action="store_true",
+                   help="stream DIPS shards through a bounded LRU instead of "
+                        "materializing the corpus (constant host RSS)")
+    p.add_argument("-stream_window", type=int, default=4)
     p.add_argument("-debug", action="store_true")
     p.add_argument("-checkpoint_dir", default="./checkpts")
 
@@ -160,5 +164,6 @@ def config_from_args(a: argparse.Namespace) -> Config:
                if a.node_buckets else {}),
             **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
                if a.pocket_buckets else {}),
-            pack=a.pack, pack_max_per_slot=a.pack_max_per_slot),
+            pack=a.pack, pack_max_per_slot=a.pack_max_per_slot,
+            stream_dips=a.stream_dips, stream_window=a.stream_window),
         debug=a.debug, checkpoint_dir=a.checkpoint_dir)

@@ -150,6 +150,13 @@ class DataConfig:
     pack: bool = False
     pack_max_per_slot: int = 4
     slot_count_buckets: Tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    # Streaming DIPS epochs: keep at most 2*stream_window shards resident
+    # (DipsShardIndex + ShardLRU) instead of materializing the corpus —
+    # required at the 42K-pair scale where load_dips_shards costs multi-GB
+    # of host RSS. Shuffle granularity becomes the window (reshuffled per
+    # epoch); schedule code is otherwise identical.
+    stream_dips: bool = False
+    stream_window: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,7 +139,21 @@ class DockingDataset:
         synthetic caches (data.synth) for benchmarking without a mounted
         corpus."""
         self.cfg = cfg
-        if cfg.data.data == "dips" and cache_path is None:
+        self.index = None       # streaming mode: DipsShardIndex
+        self._lru = None
+        if (cfg.data.data == "dips" and cache_path is None
+                and cfg.data.stream_dips):
+            # Streaming mode: never materialize the corpus. Sizes/codes come
+            # from the shard index; samples are fetched through a bounded
+            # shard LRU (capacity 2x window: current window + prefetch).
+            from .dips import DipsShardIndex, ShardLRU
+
+            self.index = DipsShardIndex(cfg.cache_path(), split)
+            self._lru = ShardLRU(self.index.shard_paths,
+                                 capacity=2 * cfg.data.stream_window)
+            self.samples = None
+            self.codes = list(self.index.codes)
+        elif cfg.data.data == "dips" and cache_path is None:
             from .dips import load_dips_shards
 
             self.samples, self.codes = load_dips_shards(cfg, split)
@@ -156,20 +170,42 @@ class DockingDataset:
                     gt_lig=z[p + "gt_lig"], gt_rec=z[p + "gt_rec"],
                     pocket=z[p + "pocket"]))
         if cfg.data.data_fraction < 1.0 and split == "train":
-            n = max(1, int(cfg.data.data_fraction * len(self.samples)))
-            self.samples = self.samples[:n]
+            n = max(1, int(cfg.data.data_fraction * len(self.codes)))
+            if self.samples is not None:
+                self.samples = self.samples[:n]
             self.codes = self.codes[:n]
         self.swap = (split == "train" and cfg.data.swap_train) if swap is None else swap
         self.split = split
         self._pad_cache = PadCache()
 
     def __len__(self) -> int:
-        return len(self.samples)
+        return len(self.codes)
+
+    # --- size/sample accessors: the only sanctioned way to touch samples,
+    # so schedule code (batches, input_pipeline.global_batch_schedule) works
+    # identically on materialized and streaming datasets.
+
+    def pair_max_nodes(self, idx: int) -> int:
+        if self.index is not None:
+            return max(self.index.n_lig[idx], self.index.n_rec[idx])
+        s = self.samples[idx]
+        return max(s.lig.num_nodes, s.rec.num_nodes)
+
+    def pocket_size(self, idx: int) -> int:
+        if self.index is not None:
+            return self.index.n_pocket[idx]
+        return self.samples[idx].pocket.shape[0]
+
+    def get_sample(self, idx: int) -> ComplexSample:
+        if self.index is not None:
+            shard = self._lru.get(self.index.shard_of[idx])
+            return shard[self.index.index_in_shard[idx]]
+        return self.samples[idx]
 
     def sample(self, idx: int, rng: np.random.Generator):
         """One augmented complex: returns (lig_graph, rec_graph, lig_new_x,
         gt_lig, pocket_lig, pocket_rec) following `db5_data.py:170-210`."""
-        s = self.samples[idx]
+        s = self.get_sample(idx)
         do_swap = self.swap and rng.uniform() > 0.5
         if do_swap:
             lig, rec = s.rec, s.lig
@@ -198,13 +234,20 @@ class DockingDataset:
         shuffled so the schedule stays stochastic.
         """
         bs = batch_size or self.cfg.train.bs
-        order = np.arange(len(self.samples))
+        if self.index is not None:
+            yield from self._stream_batches(rng, shuffle, bs, sort_by_size)
+            return
+        order = np.arange(len(self.codes))
         if shuffle:
             rng.shuffle(order)
+        yield from self._chunked(order, rng, bs, shuffle, sort_by_size)
+
+    def _chunked(self, order: np.ndarray, rng: np.random.Generator, bs: int,
+                 shuffle: bool, sort_by_size: bool) -> Iterator[PairBatch]:
+        """Shared schedule tail: size-sort -> chunk -> shuffle chunks ->
+        collate (padded or packed)."""
         if sort_by_size:
-            sizes = np.array([max(self.samples[i].lig.num_nodes,
-                                  self.samples[i].rec.num_nodes)
-                              for i in order])
+            sizes = np.array([self.pair_max_nodes(int(i)) for i in order])
             order = order[np.argsort(sizes, kind="stable")]
         chunks = [order[i:i + bs] for i in range(0, len(order), bs)]
         if shuffle:
@@ -225,3 +268,40 @@ class DockingDataset:
                               self.cfg.data.node_buckets,
                               self.cfg.data.pocket_buckets, batch_size=bs,
                               pad_cache=self._pad_cache)
+
+    def _stream_batches(self, rng: np.random.Generator, shuffle: bool,
+                        bs: int, sort_by_size: bool) -> Iterator[PairBatch]:
+        """Streaming epoch: deterministic shuffle over SHARD order, then the
+        normal schedule within each window of `stream_window` shards, with
+        the next window prefetched on the loader thread while the current
+        one collates. RSS stays O(2 x window x SHARD_SIZE) for the whole
+        epoch regardless of corpus size (VERDICT r2 next item 6).
+
+        Shuffling granularity is the window, not the corpus — the standard
+        streaming trade (tf.data shuffle buffers make the same one). Window
+        membership reshuffles every epoch via `rng`, so any pair of samples
+        still co-occurs in some epoch's window.
+        """
+        n = len(self.codes)
+        shard_of = self.index.shard_of
+        n_shards = (max(shard_of[:n]) + 1) if n else 0
+        by_shard: List[List[int]] = [[] for _ in range(n_shards)]
+        for i in range(n):
+            by_shard[shard_of[i]].append(i)
+        shard_order = np.arange(n_shards)
+        if shuffle:
+            rng.shuffle(shard_order)
+        W = max(1, self.cfg.data.stream_window)
+        windows = [shard_order[w:w + W]
+                   for w in range(0, n_shards, W)]
+        for wi, window in enumerate(windows):
+            for si in window:
+                self._lru.get(int(si))  # resident for the whole window
+            if wi + 1 < len(windows):
+                for si in windows[wi + 1]:
+                    self._lru.prefetch(int(si))
+            order = np.concatenate([np.array(by_shard[int(si)], np.int64)
+                                    for si in window])
+            if shuffle:
+                rng.shuffle(order)
+            yield from self._chunked(order, rng, bs, shuffle, sort_by_size)

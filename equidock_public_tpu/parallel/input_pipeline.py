@@ -39,12 +39,13 @@ def global_batch_schedule(
     stream inside `DockingDataset.sample`, so it must be driven by a
     schedule-independent rng; here bucket shapes use max(lig, rec) per sample,
     which is swap-invariant."""
-    order = np.arange(len(ds.samples))
+    order = np.arange(len(ds))
     if shuffle:
         rng.shuffle(order)
     if sort_by_size:
-        sizes = np.array([max(ds.samples[i].lig.num_nodes,
-                              ds.samples[i].rec.num_nodes) for i in order])
+        # size accessors work on both materialized and streaming
+        # (DipsShardIndex-backed) datasets without touching sample data
+        sizes = np.array([ds.pair_max_nodes(int(i)) for i in order])
         order = order[np.argsort(sizes, kind="stable")]
     chunks = [order[i:i + bs] for i in range(0, len(order), bs)]
     if shuffle:
@@ -54,9 +55,8 @@ def global_batch_schedule(
     nb = ds.cfg.data.node_buckets
     pb = ds.cfg.data.pocket_buckets
     for chunk in chunks:
-        n_max = max(max(ds.samples[int(i)].lig.num_nodes,
-                        ds.samples[int(i)].rec.num_nodes) for i in chunk)
-        p_max = max(ds.samples[int(i)].pocket.shape[0] for i in chunk)
+        n_max = max(ds.pair_max_nodes(int(i)) for i in chunk)
+        p_max = max(ds.pocket_size(int(i)) for i in chunk)
         shape = (bucket_for(n_max, nb), bucket_for(n_max, nb),
                  bucket_for(p_max, pb))
         out.append((chunk, shape))

@@ -210,6 +210,7 @@ def test_pad_cache_collation_identical(rng):
                                  pocket_buckets=(256,)))
     ds = DockingDataset(cfg, "val", swap=False)
     ds.samples = ds.samples[:4]
+    ds.codes = ds.codes[:4]
 
     b_cached = next(ds.batches(np.random.default_rng(3), shuffle=False,
                                batch_size=4))

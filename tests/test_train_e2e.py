@@ -67,6 +67,7 @@ def test_eval_step_reports_rmsd_inputs():
     cfg = small_cfg()
     ds = DockingDataset(cfg, "val", swap=False)
     ds.samples = ds.samples[:2]
+    ds.codes = ds.codes[:2]
     rng = np.random.default_rng(0)
     batch = next(ds.batches(rng, shuffle=False, batch_size=2))
     params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
