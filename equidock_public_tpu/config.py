@@ -167,6 +167,12 @@ class ParallelConfig:
     dp: int = 1                      # data-parallel (batch of complexes)
     gp: int = 1                      # graph-parallel (node/edge partition axis)
     mesh_axis_names: Tuple[str, ...] = ("data", "graph")
+    # Halo ring tier as an explicit Pallas RDMA kernel that overlaps both
+    # send directions with the local block copy (parallel/pallas_halo.py),
+    # instead of two lax.ppermutes scheduled by XLA. Off by default: at
+    # DB5-scale halos the collectives are ~25 us and XLA's latency-hiding
+    # scheduler already overlaps them (PERF.md "overlap design").
+    pallas_ring_halo: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,11 +70,32 @@ class HaloPlan:
         nearest-neighbor ICI pattern;
       * a RESIDUAL all_to_all tier — `send_res` (B, gp, gp*Hres) for the rare
         |i-j|>=2 references; Hres is usually 0 and the collective is elided.
-    All sharded over dim 1 (the owner shard). Hr/Hres are static (bucketed)."""
+    All sharded over dim 1 (the owner shard). Hr/Hres are static (bucketed).
+
+    RAGGED ring transport (round 3, `build_halo_batch(ragged=True, dp=...)`):
+    the padded ring buffer ships B x Hr rows where Hr is the max demand over
+    the whole batch x shard pairs — heterogeneous batches pad most of the
+    demand win away (PERF.md round-2 table: shipped only 1.0-1.7x below
+    full-gather). The ragged tier instead packs each (element, owner)
+    boundary at its EXACT width into one flat buffer per direction whose
+    only static dim is the bucketed max-over-(dp-group, owner) TOTAL:
+      * `send_next_flat`/`send_prev_flat` (dp, gp, R): indices into the
+        owner shard's flattened (B_local*S) row space (padding slots point
+        at row 0: shipped but never referenced);
+      * `unpack_prev`/`unpack_next` (dp, gp, B_local, Hr): where in the
+        received flat buffer each padded-view slot lives (clamped for slots
+        beyond the element's true width — the remapped nbr tables never
+        reference those).
+    The padded [local | from_prev | from_next | residual] view the layer
+    body indexes is IDENTICAL either way; only the wire format changes."""
 
     send_next: jnp.ndarray
     send_prev: jnp.ndarray
     send_res: jnp.ndarray
+    send_next_flat: Optional[jnp.ndarray] = None
+    send_prev_flat: Optional[jnp.ndarray] = None
+    unpack_prev: Optional[jnp.ndarray] = None
+    unpack_next: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -100,17 +121,24 @@ class HaloStats:
     hring_rec: int
     hres_lig: int            # padded residual-tier width (rows per pair)
     hres_rec: int
+    # ragged transport: (R_next, R_prev) flat widths per side, else None
+    ring_flat_lig: Optional[Tuple[int, int]] = None
+    ring_flat_rec: Optional[Tuple[int, int]] = None
 
     def bytes_per_layer(self, feat_dim: int, padded: bool = True) -> int:
         """Per-layer bytes RECEIVED per chip (x and h fused: feat_dim + 3
-        f32). `padded=True` counts the shipped (padded) buffers: two ring
-        chunks + gp residual chunks per side."""
+        f32). `padded=True` counts the shipped buffers as compiled: for the
+        ragged ring tier the two per-direction flat totals, otherwise two
+        B x Hr ring chunks; plus gp residual chunks per side."""
         gp = self.sizes_lig.shape[1]
         B = self.sizes_lig.shape[0]
         row = 4 * (feat_dim + 3)
         if padded:
-            per_chip = B * (2 * (self.hring_lig + self.hring_rec)
-                            + gp * (self.hres_lig + self.hres_rec))
+            if self.ring_flat_lig is not None:
+                ring = (sum(self.ring_flat_lig) + sum(self.ring_flat_rec))
+            else:
+                ring = B * 2 * (self.hring_lig + self.hring_rec)
+            per_chip = ring + B * gp * (self.hres_lig + self.hres_rec)
         else:
             per_chip = int(self.sizes_lig.sum() + self.sizes_rec.sum()) // gp
         return per_chip * row
@@ -255,10 +283,69 @@ def _plan_side(nbr: np.ndarray, nbr_mask: np.ndarray, gp: int,
     return plan, nbr_local, sizes, hr, hres
 
 
+def _pack_ring(plan: dict, sizes: np.ndarray, S: int, hr: int, dp: int):
+    """Ragged ring transport tables (see HaloPlan docstring). Packs each
+    (element, owner) boundary at its exact width into per-direction flat
+    buffers; the only static dims are the bucketed max-over-(dp-group,
+    owner) totals, so shipped rows track the SUM of per-element demands
+    instead of B x max."""
+    B, gp, _ = sizes.shape
+    assert B % dp == 0, (B, dp)
+    Bl = B // dp
+    # rows owner j ships toward j+1 (dest j+1's demand of j) / toward j-1
+    w_next = np.zeros((B, gp), np.int64)
+    w_prev = np.zeros((B, gp), np.int64)
+    w_next[:, : gp - 1] = np.stack(
+        [sizes[:, j + 1, j] for j in range(gp - 1)], axis=1)
+    w_prev[:, 1:] = np.stack(
+        [sizes[:, j - 1, j] for j in range(1, gp)], axis=1)
+
+    def pack(w, send):
+        group_sum = w.reshape(dp, Bl, gp).sum(axis=1)          # (dp, gp)
+        R = max(1, _bucketed(int(group_sum.max()), Bl * S))
+        flat = np.zeros((dp, gp, R), np.int32)
+        offs = np.zeros((dp, gp, Bl), np.int64)
+        for d in range(dp):
+            for j in range(gp):
+                off = 0
+                for bl in range(Bl):
+                    b = d * Bl + bl
+                    offs[d, j, bl] = off
+                    k = int(w[b, j])
+                    flat[d, j, off:off + k] = bl * S + send[b, j, :k]
+                    off += k
+        return flat, offs, R
+
+    flat_next, offs_next, r_next = pack(w_next, plan["send_next"])
+    flat_prev, offs_prev, r_prev = pack(w_prev, plan["send_prev"])
+
+    # dest-side unpack: shard i reads owner i-1's next-buffer (its
+    # from_prev) / owner i+1's prev-buffer (from_next); slots beyond the
+    # element's true width are clamped (never referenced by nbr_local)
+    t = np.arange(hr)
+    unpack_prev = np.zeros((dp, gp, Bl, hr), np.int32)
+    unpack_next = np.zeros((dp, gp, Bl, hr), np.int32)
+    for d in range(dp):
+        for i in range(gp):
+            if i > 0:
+                unpack_prev[d, i] = np.minimum(
+                    offs_next[d, i - 1][:, None] + t[None, :], r_next - 1)
+            if i < gp - 1:
+                unpack_next[d, i] = np.minimum(
+                    offs_prev[d, i + 1][:, None] + t[None, :], r_prev - 1)
+    plan["send_next_flat"] = flat_next
+    plan["send_prev_flat"] = flat_prev
+    plan["unpack_prev"] = unpack_prev
+    plan["unpack_next"] = unpack_next
+    return r_next, r_prev
+
+
 def build_halo_batch(
     pair: PairBatch, gp: int,
     spatial: bool = True,
     hmax: Optional[int] = None,
+    ragged: bool = False,
+    dp: int = 1,
 ) -> Tuple[HaloBatch, HaloStats, np.ndarray, np.ndarray]:
     """Host-side: reorder, plan, remap. Returns (HaloBatch, HaloStats,
     perm_lig, perm_rec); perms map new position -> original index (apply
@@ -288,6 +375,10 @@ def build_halo_batch(
         np.asarray(lig_p.nbr), np.asarray(lig_p.nbr_mask), gp, hmax)
     plan_r, nbr_r, sz_r, hr_r, hres_r = _plan_side(
         np.asarray(rec_p.nbr), np.asarray(rec_p.nbr_mask), gp, hmax)
+    rf_l = rf_r = None
+    if ragged:
+        rf_l = _pack_ring(plan_l, sz_l, lig_p.x.shape[1] // gp, hr_l, dp)
+        rf_r = _pack_ring(plan_r, sz_r, rec_p.x.shape[1] // gp, hr_r, dp)
 
     pair_p = PairBatch(
         lig=dataclasses.replace(lig_p, nbr=jnp.asarray(nbr_l)),
@@ -301,7 +392,8 @@ def build_halo_batch(
         plan_rec=HaloPlan(**{k: jnp.asarray(v) for k, v in plan_r.items()}))
     stats = HaloStats(sizes_lig=sz_l, sizes_rec=sz_r,
                       hring_lig=hr_l, hring_rec=hr_r,
-                      hres_lig=hres_l, hres_rec=hres_r)
+                      hres_lig=hres_l, hres_rec=hres_r,
+                      ring_flat_lig=rf_l, ring_flat_rec=rf_r)
     return hb, stats, perm_l, perm_r
 
 
@@ -309,12 +401,16 @@ def build_halo_batch(
 # Device-side: exchange + sharded trunk
 # --------------------------------------------------------------------------- #
 
-def _halo_exchange(x, h, plan: HaloPlan, axis: str = AXIS):
+def _halo_exchange(x, h, plan: HaloPlan, axis: str = AXIS,
+                   pallas_ring: bool = False, interpret: bool = False):
     """x (B, S, 3), h (B, S, D) local; `plan` holds this shard's send lists.
     Ships x and h fused in one buffer per collective. Tier 1: ppermute the
-    ±1-neighbor chunks (nearest-neighbor ICI links). Tier 2: residual
-    all_to_all, statically elided when the planner found no |i-j|>=2 demand.
-    Returns (x_src, h_src) of shape (B, S + 2*Hr + gp*Hres, .) laid out as
+    ±1-neighbor chunks (nearest-neighbor ICI links) — or, with
+    `pallas_ring`, the explicit Pallas RDMA kernel that overlaps both
+    directions with the local block copy (`pallas_halo.ring_exchange`).
+    Tier 2: residual all_to_all, statically elided when the planner found no
+    |i-j|>=2 demand. Returns (x_src, h_src) of shape
+    (B, S + 2*Hr + gp*Hres, .) laid out as
     [local | from prev | from next | residual]."""
     gp = jax.lax.axis_size(axis)
     xh = jnp.concatenate([x, h], axis=-1)
@@ -322,18 +418,43 @@ def _halo_exchange(x, h, plan: HaloPlan, axis: str = AXIS):
     def take(idx):
         return jnp.take_along_axis(xh, idx[..., None], axis=1)
 
-    # ppermute fills non-receiving shards (the chain ends) with zeros; the
-    # remapped tables never reference those slots.
-    from_prev = jax.lax.ppermute(
-        take(plan.send_next), axis, [(i, i + 1) for i in range(gp - 1)])
-    from_next = jax.lax.ppermute(
-        take(plan.send_prev), axis, [(i + 1, i) for i in range(gp - 1)])
-    parts = [xh, from_prev, from_next]
+    ring_next = [(i, i + 1) for i in range(gp - 1)]
+    ring_prev = [(i + 1, i) for i in range(gp - 1)]
+    if plan.send_next_flat is not None:
+        # Ragged transport: gather exact-width send rows into the flat
+        # per-direction buffers, ship those (sum-of-demands wide, not
+        # B x max), then unpack into the same padded per-element view.
+        B, S = x.shape[0], x.shape[1]
+        flat = xh.reshape(B * S, xh.shape[-1])
+        snd_n = flat[plan.send_next_flat]
+        snd_p = flat[plan.send_prev_flat]
+        if pallas_ring:
+            from .pallas_halo import ring_ship
+
+            from_prev_f, from_next_f = ring_ship(snd_n, snd_p, axis, gp,
+                                                 interpret)
+        else:
+            from_prev_f = jax.lax.ppermute(snd_n, axis, ring_next)
+            from_next_f = jax.lax.ppermute(snd_p, axis, ring_prev)
+        parts = [xh, from_prev_f[plan.unpack_prev],
+                 from_next_f[plan.unpack_next]]
+    elif pallas_ring:
+        from .pallas_halo import ring_exchange
+
+        main = ring_exchange(xh, take(plan.send_next), take(plan.send_prev),
+                             axis, gp, interpret)
+        parts = [main]
+    else:
+        # ppermute fills non-receiving shards (the chain ends) with zeros;
+        # the remapped tables never reference those slots.
+        from_prev = jax.lax.ppermute(take(plan.send_next), axis, ring_next)
+        from_next = jax.lax.ppermute(take(plan.send_prev), axis, ring_prev)
+        parts = [xh, from_prev, from_next]
     if plan.send_res.shape[-1] > 0:
         rcv = jax.lax.all_to_all(take(plan.send_res), axis,
                                  split_axis=1, concat_axis=1, tiled=True)
         parts.append(rcv)
-    full = jnp.concatenate(parts, axis=1)
+    full = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return full[..., :3], full[..., 3:]
 
 
@@ -347,14 +468,30 @@ def _ring_attend(q, k, v, qm, km, cross_msgs: bool):
 
 def _trunk_local(p, cfg: ModelConfig, n_lays: int, fine_tune: bool,
                  lig: ProteinBatch, rec: ProteinBatch,
-                 x_l_in, plan_l: HaloPlan, plan_r: HaloPlan):
+                 x_l_in, plan_l: HaloPlan, plan_r: HaloPlan,
+                 pallas_ring: bool = False, interpret: bool = False):
     """Full IEGMN trunk on node shards, inside shard_map. Per layer: halo
     exchange, then the unchanged dense layer body on the local block.
     Returns the final x/h of both sides all-gathered (the only full-array
     exchange per forward; the keypoint head runs densely on it)."""
-    # (B, 1, H) local slices of the owner-sharded plans -> (B, H)
-    plan_l = jax.tree.map(lambda a: a[:, 0], plan_l)
-    plan_r = jax.tree.map(lambda a: a[:, 0], plan_r)
+
+    def slice_plan(plan: HaloPlan) -> HaloPlan:
+        # padded tables (B, 1, H) -> (B, H); ragged tables carry explicit
+        # (dp, gp) lead dims -> local (1, 1, ...) -> drop both
+        return HaloPlan(
+            send_next=plan.send_next[:, 0], send_prev=plan.send_prev[:, 0],
+            send_res=plan.send_res[:, 0],
+            send_next_flat=(None if plan.send_next_flat is None
+                            else plan.send_next_flat[0, 0]),
+            send_prev_flat=(None if plan.send_prev_flat is None
+                            else plan.send_prev_flat[0, 0]),
+            unpack_prev=(None if plan.unpack_prev is None
+                         else plan.unpack_prev[0, 0]),
+            unpack_next=(None if plan.unpack_next is None
+                         else plan.unpack_next[0, 0]))
+
+    plan_l = slice_plan(plan_l)
+    plan_r = slice_plan(plan_r)
 
     orig_x_l, orig_x_r = x_l_in, rec.x
     x_l, x_r = x_l_in, rec.x
@@ -369,8 +506,10 @@ def _trunk_local(p, cfg: ModelConfig, n_lays: int, fine_tune: bool,
     he_r = rec.edge_feat * gate
 
     def run_layer(lp, skip, x_l, h_l, x_r, h_r):
-        src_l = _halo_exchange(x_l, h_l, plan_l)
-        src_r = _halo_exchange(x_r, h_r, plan_r)
+        src_l = _halo_exchange(x_l, h_l, plan_l,
+                               pallas_ring=pallas_ring, interpret=interpret)
+        src_r = _halo_exchange(x_r, h_r, plan_r,
+                               pallas_ring=pallas_ring, interpret=interpret)
         return iegmn_layer_forward(
             lp, cfg, fine_tune, skip, lig, rec, x_l, h_l, x_r, h_r,
             orig_h_l, orig_h_r, he_l, he_r, orig_x_l, orig_x_r,
@@ -416,23 +555,27 @@ def make_halo_forward(cfg: Config, mesh: Mesh):
         edge_feat=P("data", AXIS, None, None), node_mask=node)
     gathered = P("data", None, None)
 
-    plan_spec = HaloPlan(send_next=P("data", AXIS, None),
-                         send_prev=P("data", AXIS, None),
-                         send_res=P("data", AXIS, None))
+    # Overlapped Pallas ring tier: RDMA kernel on real TPU; mosaic interpret
+    # mode (simulated semaphores/remote DMAs) everywhere else, so the CPU
+    # mesh tests exercise the same kernel logic.
+    pallas_ring = cfg.parallel.pallas_ring_halo
+    interpret = jax.default_backend() != "tpu"
 
-    def trunk_fn(n_lays: int, fine_tune: bool):
+    def trunk_fn(n_lays: int, fine_tune: bool, ragged: bool):
         def fn(p, lig, rec, x_l_in, plan_l, plan_r):
             return _trunk_local(p, mc, n_lays, fine_tune, lig, rec,
-                                x_l_in, plan_l, plan_r)
+                                x_l_in, plan_l, plan_r,
+                                pallas_ring=pallas_ring, interpret=interpret)
 
+        ps = plan_pspec(ragged)
         return jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(P(), prot, prot, P("data", AXIS, None),
-                      plan_spec, plan_spec),
+            in_specs=(P(), prot, prot, P("data", AXIS, None), ps, ps),
             out_specs=(gathered,) * 4, check_vma=False)
 
     def stage(params_stage, hb: HaloBatch, x_l_in, n_lays, fine_tune):
-        x_l_f, h_l_f, x_r_f, h_r_f = trunk_fn(n_lays, fine_tune)(
+        ragged = hb.plan_lig.send_next_flat is not None
+        x_l_f, h_l_f, x_r_f, h_r_f = trunk_fn(n_lays, fine_tune, ragged)(
             params_stage, hb.pair.lig, hb.pair.rec, x_l_in,
             hb.plan_lig, hb.plan_rec)
         return keypoint_head(params_stage, mc, h_l_f, x_l_f, h_r_f, x_r_f,
@@ -465,16 +608,24 @@ def make_halo_forward(cfg: Config, mesh: Mesh):
 # Production train step over a HaloBatch
 # --------------------------------------------------------------------------- #
 
-def halo_batch_pspec() -> HaloBatch:
-    plan = HaloPlan(send_next=P("data", AXIS, None),
+def plan_pspec(ragged: bool = False) -> HaloPlan:
+    flat = P("data", AXIS, None) if ragged else None
+    up = P("data", AXIS, None, None) if ragged else None
+    return HaloPlan(send_next=P("data", AXIS, None),
                     send_prev=P("data", AXIS, None),
-                    send_res=P("data", AXIS, None))
+                    send_res=P("data", AXIS, None),
+                    send_next_flat=flat, send_prev_flat=flat,
+                    unpack_prev=up, unpack_next=up)
+
+
+def halo_batch_pspec(ragged: bool = False) -> HaloBatch:
+    plan = plan_pspec(ragged)
     return HaloBatch(pair=batch_pspec(shard_nodes=True),
                      plan_lig=plan, plan_rec=plan)
 
 
 def shard_halo_batch(hb: HaloBatch, mesh: Mesh) -> HaloBatch:
-    specs = halo_batch_pspec()
+    specs = halo_batch_pspec(hb.plan_lig.send_next_flat is not None)
     return jax.tree.map(
         # None pairs = absent optional fields (seg_id/seg_mask; the halo path
         # is never packed) — pass through
@@ -485,7 +636,7 @@ def shard_halo_batch(hb: HaloBatch, mesh: Mesh) -> HaloBatch:
                                              ProteinBatch)))
 
 
-def make_halo_train_step(cfg: Config, mesh: Mesh):
+def make_halo_train_step(cfg: Config, mesh: Mesh, ragged: bool = False):
     """jitted train step whose forward is the halo-exchange trunk; the step
     math is `train.step.step_body` with the forward swapped, so the scheduler
     (lr_scale) and clip telemetry match the single-chip path."""
@@ -503,7 +654,7 @@ def make_halo_train_step(cfg: Config, mesh: Mesh):
 
     repl = NamedSharding(mesh, P())
     hb_shardings = jax.tree.map(
-        lambda s: NamedSharding(mesh, s), halo_batch_pspec(),
+        lambda s: NamedSharding(mesh, s), halo_batch_pspec(ragged),
         is_leaf=lambda x: isinstance(x, P))
 
     def step(state: TrainState, hb: HaloBatch, rng, lr_scale):

@@ -1,0 +1,278 @@
+"""Overlapped halo ring tier: Pallas inter-chip RDMA (round-3; VERDICT r2
+next item 5).
+
+The XLA path (`halo._halo_exchange`) expresses the ±1-neighbor exchange as
+two `lax.ppermute`s and relies on XLA's latency-hiding scheduler to overlap
+them with the local edge aggregation. This module is the EXPLICIT version:
+one Pallas kernel per side that
+
+  1. barriers with its ring neighbors (so RDMA writes cannot land before
+     the destination scratch exists),
+  2. starts BOTH directions' `make_async_remote_copy` RDMAs into the
+     neighbor's VMEM receive scratch,
+  3. copies the LOCAL block into the output while both RDMAs are in
+     flight — the overlap is structural, not scheduler-dependent,
+  4. waits, writes the received chunks into the [local | from_prev |
+     from_next] layout (chain ends skip the absent direction and the
+     never-received slot is zero-filled, matching ppermute's semantics),
+  5. barriers again before exit so no shard tears down buffers a neighbor
+     is still reading.
+
+Differentiability: the kernel moves rows without computing on them, so the
+VJP is the reverse ring shipment — grad slices travel the opposite
+direction and the caller's `take_along_axis` transpose (a scatter-add, done
+by XLA AD outside the kernel) accumulates them into the gathered rows.
+`ring_exchange` wires this up with `jax.custom_vjp`.
+
+No reference counterpart: the reference is single-GPU (SURVEY §2.2); this
+is the TPU-native replacement for what NCCL send/recv would be in a
+multi-GPU port. Tested via the mosaic TPU interpret mode (simulated
+semaphores + remote DMAs, race detection on) on the 8-virtual-device CPU
+mesh; compiled (not timed) for real TPU — timing needs a real multi-chip
+slice, which this environment does not mount.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+AXIS = "graph"
+
+
+def _neighbor_barrier(axis: str, i, gp: int, expected):
+    """Signal both ring neighbors and wait for their signals."""
+    barrier = pltpu.get_barrier_semaphore()
+
+    @pl.when(i > 0)
+    def _():
+        pltpu.semaphore_signal(barrier, 1, device_id={axis: i - 1})
+
+    @pl.when(i < gp - 1)
+    def _():
+        pltpu.semaphore_signal(barrier, 1, device_id={axis: i + 1})
+
+    pltpu.semaphore_wait(barrier, expected)
+
+
+def _ring_body(axis: str, gp: int, snd_next_ref, snd_prev_ref, out_ref,
+               s0: int, local_copy, recv_ref, send_sem, recv_sem):
+    """Shared fwd/bwd body: both-direction RDMA into the neighbor's recv
+    scratch, `local_copy()` overlapped while the DMAs are in flight, then
+    receive into out_ref[:, s0:s0+H] (from_prev) / [:, s0+H:s0+2H]
+    (from_next)."""
+    i = jax.lax.axis_index(axis)
+    H = snd_next_ref.shape[1]
+    n_nbrs = (i > 0).astype(jnp.int32) + (i < gp - 1).astype(jnp.int32)
+    _neighbor_barrier(axis, i, gp, n_nbrs)
+
+    nxt = jnp.minimum(i + 1, gp - 1)      # clamped: used only when i<gp-1
+    prv = jnp.maximum(i - 1, 0)
+    # my snd_next lands in (i+1)'s recv slot 0 (its "from_prev");
+    # my snd_prev lands in (i-1)'s recv slot 1 (its "from_next").
+    dma_next = pltpu.make_async_remote_copy(
+        src_ref=snd_next_ref, dst_ref=recv_ref.at[0],
+        send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
+        device_id={axis: nxt})
+    dma_prev = pltpu.make_async_remote_copy(
+        src_ref=snd_prev_ref, dst_ref=recv_ref.at[1],
+        send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
+        device_id={axis: prv})
+
+    @pl.when(i < gp - 1)
+    def _():
+        dma_next.start()
+
+    @pl.when(i > 0)
+    def _():
+        dma_prev.start()
+
+    # ---- the overlap: local work proceeds while both RDMAs are in flight
+    local_copy()
+
+    @pl.when(i < gp - 1)
+    def _():
+        dma_next.wait_send()
+
+    @pl.when(i > 0)
+    def _():
+        dma_prev.wait_send()
+
+    @pl.when(i > 0)
+    def _():
+        dma_next.wait_recv()              # my slot 0, sent by i-1
+
+    @pl.when(i < gp - 1)
+    def _():
+        dma_prev.wait_recv()              # my slot 1, sent by i+1
+
+    zero = jnp.zeros_like(recv_ref[0])
+    out_ref[:, pl.ds(s0, H), :] = jnp.where(i > 0, recv_ref[0], zero)
+    out_ref[:, pl.ds(s0 + H, H), :] = jnp.where(i < gp - 1, recv_ref[1], zero)
+
+    # exit barrier: a shard must not tear down while a neighbor still reads
+    _neighbor_barrier(axis, i, gp, n_nbrs)
+
+
+def _fwd_kernel(axis, gp, local_ref, snd_next_ref, snd_prev_ref, out_ref,
+                recv_ref, send_sem, recv_sem):
+    S = local_ref.shape[1]
+
+    def local_copy():
+        out_ref[:, pl.ds(0, S), :] = local_ref[:]
+
+    _ring_body(axis, gp, snd_next_ref, snd_prev_ref, out_ref, S,
+               local_copy, recv_ref, send_sem, recv_sem)
+
+
+def _ship2_kernel(axis, gp, a_ref, b_ref, out_p_ref, out_n_ref,
+                  recv_a, recv_b, send_sem, recv_sem):
+    """Both-direction shipment with independent widths: out_p = a from my
+    left neighbor (zeros at shard 0), out_n = b from my right neighbor
+    (zeros at shard gp-1). Used flat (ragged ring tier) and as the reverse
+    shipment of ring_exchange's VJP."""
+    i = jax.lax.axis_index(axis)
+    n_nbrs = (i > 0).astype(jnp.int32) + (i < gp - 1).astype(jnp.int32)
+    _neighbor_barrier(axis, i, gp, n_nbrs)
+    nxt = jnp.minimum(i + 1, gp - 1)
+    prv = jnp.maximum(i - 1, 0)
+    dma_next = pltpu.make_async_remote_copy(
+        src_ref=a_ref, dst_ref=recv_a,
+        send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
+        device_id={axis: nxt})
+    dma_prev = pltpu.make_async_remote_copy(
+        src_ref=b_ref, dst_ref=recv_b,
+        send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
+        device_id={axis: prv})
+
+    @pl.when(i < gp - 1)
+    def _():
+        dma_next.start()
+
+    @pl.when(i > 0)
+    def _():
+        dma_prev.start()
+
+    @pl.when(i < gp - 1)
+    def _():
+        dma_next.wait_send()
+
+    @pl.when(i > 0)
+    def _():
+        dma_prev.wait_send()
+
+    @pl.when(i > 0)
+    def _():
+        dma_next.wait_recv()
+
+    @pl.when(i < gp - 1)
+    def _():
+        dma_prev.wait_recv()
+
+    out_p_ref[...] = jnp.where(i > 0, recv_a[...], jnp.zeros_like(recv_a))
+    out_n_ref[...] = jnp.where(i < gp - 1, recv_b[...],
+                               jnp.zeros_like(recv_b))
+    _neighbor_barrier(axis, i, gp, n_nbrs)
+
+
+def _interp(interpret):
+    return (pltpu.InterpretParams(detect_races=True) if interpret else False)
+
+
+def _call_fwd(args, axis, gp, interpret):
+    local, snd_next, snd_prev = args
+    B, S, F = local.shape
+    H = snd_next.shape[1]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, axis, gp),
+        in_specs=[vmem] * 3,
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((B, S + 2 * H, F), local.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H, F), local.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=7),
+        interpret=_interp(interpret),
+    )(*args)
+
+
+def _call_ship2(a, b, axis, gp, interpret):
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ship2_kernel, axis, gp),
+        in_specs=[vmem] * 2,
+        out_specs=[vmem] * 2,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype),
+                   jax.ShapeDtypeStruct(b.shape, b.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM(a.shape, a.dtype),
+            pltpu.VMEM(b.shape, b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=8),
+        interpret=_interp(interpret),
+    )(a, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ring_exchange(local, snd_next, snd_prev, axis: str = AXIS,
+                  gp: int = 1, interpret: bool = False):
+    """[local | from_prev | from_next] with both ring RDMAs overlapped with
+    the local block copy. local (B, S, F); snd_* (B, H, F) rows already
+    gathered per the halo plan (their take_along_axis transpose handles the
+    scatter-add side of AD). Must run inside shard_map over `axis`."""
+    return _call_fwd((local, snd_next, snd_prev), axis, gp, interpret)
+
+
+def _fwd_rule(local, snd_next, snd_prev, axis, gp, interpret):
+    out = ring_exchange(local, snd_next, snd_prev, axis, gp, interpret)
+    return out, (local.shape[1], snd_next.shape[1])
+
+
+def _bwd_rule(axis, gp, interpret, res, g):
+    S, H = res
+    # Reverse flow: my from_next-slot grad belongs to (i+1)'s snd_prev rows
+    # -> travels i->i+1 (the "next" direction); my from_prev-slot grad
+    # belongs to (i-1)'s snd_next rows -> travels i->i-1. ship2 chain-end
+    # zero-fill gives exactly the zero cotangent never-shipped rows need.
+    g_snd_prev, g_snd_next = _call_ship2(
+        g[:, S + H:S + 2 * H], g[:, S:S + H], axis, gp, interpret)
+    return g[:, :S], g_snd_next, g_snd_prev
+
+
+ring_exchange.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ring_ship(snd_next, snd_prev, axis: str = AXIS, gp: int = 1,
+              interpret: bool = False):
+    """Flat both-direction ring shipment for the ragged halo tier: returns
+    (from_prev, from_next) — snd_next as received from my left neighbor
+    (zeros at shard 0) and snd_prev from my right (zeros at shard gp-1).
+    Widths may differ per direction. Must run inside shard_map."""
+    return tuple(_call_ship2(snd_next, snd_prev, axis, gp, interpret))
+
+
+def _ship_fwd(snd_next, snd_prev, axis, gp, interpret):
+    return ring_ship(snd_next, snd_prev, axis, gp, interpret), None
+
+
+def _ship_bwd(axis, gp, interpret, _, g):
+    g_from_prev, g_from_next = g
+    # snd_next[i] fed from_prev[i+1]: its grad returns from the right
+    # (prev-direction ship of g_from_prev); snd_prev[i] fed from_next[i-1]:
+    # grad returns from the left (next-direction ship of g_from_next).
+    g_snd_prev, g_snd_next = _call_ship2(g_from_next, g_from_prev,
+                                         axis, gp, interpret)
+    return g_snd_next, g_snd_prev
+
+
+ring_ship.defvjp(_ship_fwd, _ship_bwd)

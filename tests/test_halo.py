@@ -117,6 +117,127 @@ def test_halo_train_step_matches_dense(rng):
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("pallas_ring", [False, True])
+def test_halo_forward_ragged_matches_dense(rng, pallas_ring):
+    """Ragged ring transport (per-(element, owner) exact widths packed into
+    one flat buffer per direction) delivers byte-identical gathered views:
+    forward == dense, for both the ppermute and the Pallas RDMA transports."""
+    cfg, batch, params = _setup(rng)
+    dense = docking_forward(params, cfg.model, batch)
+
+    mesh = make_mesh(dp=4, gp=2)
+    hb, stats, perm_l, _ = build_halo_batch(batch, gp=2, ragged=True, dp=4)
+    assert stats.ring_flat_lig is not None
+    if pallas_ring:
+        cfg = _pallas_ring_cfg(cfg)
+    with mesh:
+        hb_s = shard_halo_batch(hb, mesh)
+        params_r = replicate(params, mesh)
+        fwd = jax.jit(make_halo_forward(cfg, mesh))
+        out = fwd(params_r, hb_s)
+
+    np.testing.assert_allclose(np.asarray(out["R"]), np.asarray(dense["R"]),
+                               rtol=1e-4, atol=1e-4)
+    got = np.asarray(out["ligand_coords"])
+    want = np.asarray(dense["ligand_coords"])
+    for b in range(got.shape[0]):
+        np.testing.assert_allclose(got[b], want[b][perm_l[b]],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_halo_train_step_ragged_matches_dense(rng):
+    """One optimizer step through the ragged transport (gather/ppermute/
+    unpack — XLA AD scatter-adds through the flat packing) == dense step."""
+    cfg, batch, params = _setup(rng)
+    state = create_train_state(params, cfg)
+    key = jax.random.PRNGKey(3)
+    state1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key, cfg)
+
+    mesh = make_mesh(dp=4, gp=2)
+    hb, _, _, _ = build_halo_batch(batch, gp=2, ragged=True, dp=4)
+    with mesh:
+        hb_s = shard_halo_batch(hb, mesh)
+        state_r = jax.tree.map(lambda x: replicate(x, mesh), state)
+        step = make_halo_train_step(cfg, mesh, ragged=True)
+        state2, m2 = step(state_r, hb_s, key, jnp.asarray(1.0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_ragged_ships_fewer_bytes_than_padded(rng):
+    """On heterogeneous batches the ragged flat widths track the SUM of
+    per-element demands; the padded path ships B x max."""
+    batch = _spatial_batch(rng, B=8, N=256)
+    hb_p, st_p, _, _ = build_halo_batch(batch, gp=4)
+    hb_r, st_r, _, _ = build_halo_batch(batch, gp=4, ragged=True, dp=2)
+    padded = st_p.bytes_per_layer(64, padded=True)
+    ragged = st_r.bytes_per_layer(64, padded=True)
+    assert ragged < padded, (ragged, padded)
+    # and it can never undercut true demand
+    assert ragged >= st_r.bytes_per_layer(64, padded=False) // 2
+
+
+def _pallas_ring_cfg(cfg):
+    return dataclasses.replace(
+        cfg, parallel=dataclasses.replace(cfg.parallel,
+                                          pallas_ring_halo=True))
+
+
+def test_halo_forward_pallas_ring_matches_dense(rng):
+    """Halo forward with the overlapped Pallas RDMA ring tier (mosaic
+    interpret mode on the CPU mesh, race detection on) == dense forward."""
+    cfg, batch, params = _setup(rng)
+    dense = docking_forward(params, cfg.model, batch)
+
+    mesh = make_mesh(dp=4, gp=2)
+    hb, _, perm_l, _ = build_halo_batch(batch, gp=2)
+    with mesh:
+        hb_s = shard_halo_batch(hb, mesh)
+        params_r = replicate(params, mesh)
+        fwd = jax.jit(make_halo_forward(_pallas_ring_cfg(cfg), mesh))
+        out = fwd(params_r, hb_s)
+
+    np.testing.assert_allclose(np.asarray(out["R"]), np.asarray(dense["R"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["t"]), np.asarray(dense["t"]),
+                               rtol=1e-4, atol=1e-3)
+    got = np.asarray(out["ligand_coords"])
+    want = np.asarray(dense["ligand_coords"])
+    for b in range(got.shape[0]):
+        np.testing.assert_allclose(got[b], want[b][perm_l[b]],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_halo_train_step_pallas_ring_matches_dense(rng):
+    """One optimizer step through the Pallas ring tier (custom VJP: reverse
+    ring shipment + scatter-add) == the dense step, at gp=4 with a forced
+    nonzero residual tier so the RDMA ring and the residual all_to_all
+    compose in one program."""
+    cfg, batch, params = _setup(rng, B=2, N=16)
+    state = create_train_state(params, cfg)
+    key = jax.random.PRNGKey(3)
+    state1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key, cfg)
+
+    mesh = make_mesh(dp=2, gp=4)
+    hb, stats, _, _ = build_halo_batch(batch, gp=4, spatial=False, hmax=4)
+    assert stats.hres_lig > 0
+    with mesh:
+        hb_s = shard_halo_batch(hb, mesh)
+        state_r = jax.tree.map(lambda x: replicate(x, mesh), state)
+        step = make_halo_train_step(_pallas_ring_cfg(cfg), mesh)
+        state2, m2 = step(state_r, hb_s, key, jnp.asarray(1.0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_halo_train_step_matches_dense_gp4_forced_residual(rng):
     """dp=2 x gp=4 with a FORCED nonzero residual tier (hmax): synth_batch's
     random neighbor tables guarantee |i-j|>=2 edges at gp=4, and hmax pins
