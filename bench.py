@@ -74,6 +74,13 @@ def epoch_bench(mode: str):
         bk = tuple(int(x) for x in os.environ["BENCH_BUCKETS"].split(","))
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, node_buckets=bk))
+    # BENCH_PACK=C packs up to C complexes per padded slot (graph.py
+    # collate_packed) — the round-3 attack on the 40-56% padding floor
+    if os.environ.get("BENCH_PACK", "0") not in ("", "0"):
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, pack=True,
+                pack_max_per_slot=int(os.environ["BENCH_PACK"])))
     ds.cfg = cfg
 
     params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
@@ -95,8 +102,22 @@ def epoch_bench(mode: str):
     state, key, n_batches = one_epoch(state, key, seed=1)
     dt = time.perf_counter() - t0
 
-    sizes_lr = [(s.lig.num_nodes, s.rec.num_nodes) for s in ds.samples]
-    waste = waste_report(sizes_lr, cfg.data.node_buckets, cfg.train.bs)
+    if cfg.data.pack:
+        # realized waste of the packed epoch: valid node rows vs padded
+        # slot rows, from the actual collated batches (host-side replay)
+        valid = padded = 0
+        shapes = set()
+        for b in ds.batches(np.random.default_rng(1), shuffle=True):
+            valid += int(np.asarray(b.lig.node_mask).sum()
+                         + np.asarray(b.rec.node_mask).sum())
+            padded += (b.lig.x.shape[0] * b.lig.x.shape[1]
+                       + b.rec.x.shape[0] * b.rec.x.shape[1])
+            shapes.add((b.lig.x.shape, b.rec.x.shape, b.n_segs))
+        waste = {"waste_pct": 100.0 * (1 - valid / padded),
+                 "distinct_shapes": len(shapes)}
+    else:
+        sizes_lr = [(s.lig.num_nodes, s.rec.num_nodes) for s in ds.samples]
+        waste = waste_report(sizes_lr, cfg.data.node_buckets, cfg.train.bs)
     pairs_per_s = len(ds) / dt
     baseline = 25.0
     print(json.dumps({
@@ -107,6 +128,7 @@ def epoch_bench(mode: str):
         "epoch_s": round(dt, 2),
         "pairs": len(ds),
         "batches": n_batches,
+        "packed": cfg.data.pack,
         "padding_waste_pct": round(waste["waste_pct"], 1),
         "distinct_shapes": waste["distinct_shapes"],
     }))
