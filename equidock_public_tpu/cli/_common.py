@@ -155,7 +155,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             save_every_epochs=a.save_every_epochs,
             use_fused_intersection=a.use_fused_intersection,
             val_repeats=a.val_repeats, ot_solver=a.ot_solver,
-            select_metric=a.select_metric),
+            select_metric=a.select_metric,
+            freeze_original=getattr(a, "freeze_original", False)),
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,

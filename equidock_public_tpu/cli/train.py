@@ -26,7 +26,16 @@ def main():
     p.add_argument("-continue_train_model", default="",
                    help="checkpoint dir to resume from; its config is adopted "
                         "(args.py:131-138)")
+    p.add_argument("-fine_tune_from", default="",
+                   help="stage-1 checkpoint dir: adopt its trunk as the "
+                        "'original' stage of a -fine_tune model (args.py:110) "
+                        "and train with a fresh 2-layer refinement stage")
+    p.add_argument("-freeze_original", action="store_true",
+                   help="with -fine_tune_from: train only the refinement "
+                        "stage, stage-1 trunk frozen")
     a = p.parse_args()
+    assert not (a.continue_train_model and a.fine_tune_from), \
+        "-continue_train_model and -fine_tune_from are mutually exclusive"
     if a.compile_cache:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.abspath(a.compile_cache))
@@ -34,6 +43,37 @@ def main():
     cfg = config_from_args(a)
 
     state = None
+    if a.fine_tune_from:
+        import dataclasses
+
+        import jax.numpy as jnp  # noqa: F401
+
+        from ..models.iegmn import init_docking_model
+        from ..train.checkpoint import load_checkpoint
+        from ..train.step import create_train_state
+
+        _, cfg_ckpt, epoch = load_checkpoint(a.fine_tune_from)
+        # adopt the stage-1 architecture, add the 2-layer refinement stage;
+        # keep CLI kernel/numerics flags (same policy as continue_train)
+        model_cfg = dataclasses.replace(
+            cfg_ckpt.model, fine_tune=True,
+            use_fused_attention=cfg.model.use_fused_attention,
+            factored_edge_mlp=cfg.model.factored_edge_mlp,
+            remat=cfg.model.remat, dtype=cfg.model.dtype)
+        cfg = dataclasses.replace(cfg, model=model_cfg)
+        # restore stage-1 params against their own (fine_tune=False) template
+        tmpl = create_train_state(
+            init_docking_model(jax.random.PRNGKey(0), cfg_ckpt.model),
+            cfg_ckpt)
+        payload, _, _ = load_checkpoint(a.fine_tune_from, tmpl)
+        fresh = init_docking_model(
+            jax.random.PRNGKey(cfg.train.random_seed), cfg.model)
+        params = {"original": payload["params"]["original"],
+                  "finetune": fresh["finetune"]}
+        state = create_train_state(params, cfg)
+        print(f"Fine-tuning from {a.fine_tune_from} (stage-1 best epoch "
+              f"{epoch}); original stage "
+              f"{'FROZEN' if cfg.train.freeze_original else 'trainable'}")
     if a.continue_train_model:
         import dataclasses
 

@@ -122,6 +122,10 @@ class TrainConfig:
     # SE(3) pose drawn per complex (db5_data.py:195-204); averaging several
     # draws denoises model selection on small val sets.
     val_repeats: int = 1
+    # Two-stage fine-tuning (`-fine_tune_from`): train only the 2-layer
+    # finetune branch, stage-1 trunk frozen (grad AND update zeroed so
+    # weight decay cannot move it).
+    freeze_original: bool = False
     # Early-stopping selection metric: 'crmsd' (the reference's val
     # complex-RMSD-median rule, train.py:372), 'irmsd', or 'sum' (CRMSD +
     # IRMSD medians — targets a checkpoint good at BOTH headline metrics).

@@ -63,7 +63,19 @@ def step_body(
     (loss, (metrics, out)), grads = jax.value_and_grad(fn, has_aux=True)(
         state.params, cfg, batch, rng, True, state.bn_state)
     gnorm = optax.global_norm(grads)
+    if cfg.train.freeze_original and isinstance(grads, dict) \
+            and "finetune" in grads:
+        # two-stage fine-tuning with the stage-1 trunk frozen: zero the
+        # original-branch gradient (keeps Adam moments clean) ...
+        grads = dict(grads, original=jax.tree.map(
+            jnp.zeros_like, grads["original"]))
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    if cfg.train.freeze_original and isinstance(updates, dict) \
+            and "finetune" in updates:
+        # ... and the update itself, because add_decayed_weights would
+        # still decay frozen params through a zero gradient
+        updates = dict(updates, original=jax.tree.map(
+            jnp.zeros_like, updates["original"]))
     updates = jax.tree.map(lambda u: u * lr_scale, updates)
     params = optax.apply_updates(state.params, updates)
     bn_state = out.get("bn_updates", state.bn_state) \
