@@ -28,8 +28,9 @@ No reference counterpart: the reference is single-GPU (SURVEY §2.2); this
 is the TPU-native replacement for what NCCL send/recv would be in a
 multi-GPU port. Tested via the mosaic TPU interpret mode (simulated
 semaphores + remote DMAs, race detection on) on the 8-virtual-device CPU
-mesh; compiled (not timed) for real TPU — timing needs a real multi-chip
-slice, which this environment does not mount.
+mesh; TPU lowering (Pallas-Mosaic serialization) pinned by jax.export
+(tests/test_pallas_halo_export.py) — LLO compile + timing need a real
+multi-chip slice, which this environment does not mount.
 """
 
 from __future__ import annotations
