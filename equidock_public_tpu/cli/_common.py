@@ -110,6 +110,10 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                         "slot (seg-masked attention/losses; cuts the padding "
                         "floor on real epochs)")
     p.add_argument("-pack_max_per_slot", type=int, default=4)
+    p.add_argument("-distill_dir", default="",
+                   help="dir of teacher-predicted train poses "
+                        "({code}_l_b_*.pdb): blend into the coord target")
+    p.add_argument("-distill_alpha", type=float, default=0.5)
     p.add_argument("-stream_dips", action="store_true",
                    help="stream DIPS shards through a bounded LRU instead of "
                         "materializing the corpus (constant host RSS)")
@@ -166,5 +170,6 @@ def config_from_args(a: argparse.Namespace) -> Config:
             **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
                if a.pocket_buckets else {}),
             pack=a.pack, pack_max_per_slot=a.pack_max_per_slot,
-            stream_dips=a.stream_dips, stream_window=a.stream_window),
+            stream_dips=a.stream_dips, stream_window=a.stream_window,
+            distill_dir=a.distill_dir, distill_alpha=a.distill_alpha),
         debug=a.debug, checkpoint_dir=a.checkpoint_dir)

@@ -161,6 +161,14 @@ class DataConfig:
     # epoch); schedule code is otherwise identical.
     stream_dips: bool = False
     stream_window: int = 4
+    # Pose distillation (round 3, VERDICT item-1 avenue b): blend a teacher
+    # model's predicted train poses into the coordinate target,
+    # gt <- (1-a)*gt + a*teacher. Gradient-identical to adding a*MSE(pred,
+    # teacher) next to (1-a)*MSE(pred, gt) (the cross terms are
+    # pred-independent), so no loss-code change is needed. Train split only;
+    # canonical ligand side only (the swap-augmented side has no teacher).
+    distill_dir: str = ""
+    distill_alpha: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

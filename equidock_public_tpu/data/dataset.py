@@ -177,6 +177,36 @@ class DockingDataset:
         self.swap = (split == "train" and cfg.data.swap_train) if swap is None else swap
         self.split = split
         self._pad_cache = PadCache()
+        if split == "train" and cfg.data.distill_dir:
+            self._blend_teacher_poses(cfg.data.distill_dir,
+                                      cfg.data.distill_alpha)
+
+    def _blend_teacher_poses(self, teacher_dir: str, alpha: float) -> None:
+        """Pose distillation (DataConfig.distill_dir): replace each train
+        complex's bound-ligand target with (1-a)*gt + a*teacher_pred. The
+        blended-target MSE gradient equals the blend of the two MSEs'
+        gradients, so this IS the auxiliary-distillation loss without any
+        loss-code change. Requires materialized samples (not stream_dips)."""
+        import glob as _glob
+
+        from .pdb import ca_coords, read_pdb
+
+        assert self.samples is not None, \
+            "distill_dir requires a materialized dataset (not stream_dips)"
+        n_blend = 0
+        for s, code in zip(self.samples, self.codes):
+            hits = _glob.glob(os.path.join(teacher_dir,
+                                           f"{str(code)}_l_b_*.pdb"))
+            if not hits:
+                continue
+            t = ca_coords(read_pdb(hits[0]))
+            if t.shape != s.gt_lig.shape:
+                continue
+            s.gt_lig = ((1.0 - alpha) * s.gt_lig
+                        + alpha * t).astype(np.float32)
+            n_blend += 1
+        print(f"distill: blended teacher poses into {n_blend}/"
+              f"{len(self.codes)} train targets (alpha={alpha})")
 
     def __len__(self) -> int:
         return len(self.codes)
