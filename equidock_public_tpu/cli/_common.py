@@ -110,6 +110,12 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                         "slot (seg-masked attention/losses; cuts the padding "
                         "floor on real epochs)")
     p.add_argument("-pack_max_per_slot", type=int, default=4)
+    p.add_argument("-dp", type=int, default=1,
+                   help="data-parallel mesh size (shards the complex axis)")
+    p.add_argument("-gp", type=int, default=1,
+                   help="graph-parallel mesh size (shards the node axis)")
+    p.add_argument("-pallas_ring_halo", action="store_true",
+                   help="explicit Pallas RDMA ring tier in the halo path")
     p.add_argument("-distill_dir", default="",
                    help="dir of teacher-predicted train poses "
                         "({code}_l_b_*.pdb): blend into the coord target")
@@ -172,4 +178,6 @@ def config_from_args(a: argparse.Namespace) -> Config:
             pack=a.pack, pack_max_per_slot=a.pack_max_per_slot,
             stream_dips=a.stream_dips, stream_window=a.stream_window,
             distill_dir=a.distill_dir, distill_alpha=a.distill_alpha),
+        parallel=ParallelConfig(dp=a.dp, gp=a.gp,
+                                pallas_ring_halo=a.pallas_ring_halo),
         debug=a.debug, checkpoint_dir=a.checkpoint_dir)

@@ -16,6 +16,11 @@ from ._common import add_config_args, config_from_args
 
 
 def main():
+    # multi-host bring-up must precede any backend touch (parallel/train.py
+    # docstring); a no-op single-process
+    from ..parallel.train import distributed_initialize_if_needed
+
+    distributed_initialize_if_needed()
     p = argparse.ArgumentParser(description="Train EquiDock-TPU")
     add_config_args(p)
     p.add_argument("-toy", action="store_true",

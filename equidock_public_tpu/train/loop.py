@@ -24,20 +24,22 @@ from .optim import ReduceOnPlateau, epoch_lr_factor
 from .step import TrainState, create_train_state, eval_step, train_step
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, put=None):
     """Producer-thread prefetch: collate + device_put the next batches while
     the current step runs (hides the host->device transfer latency, which
-    dominates per-step time on the tunneled TPU)."""
+    dominates per-step time on the tunneled TPU). `put` overrides the
+    placement (the mesh path passes a sharding device_put)."""
     import queue as queue_mod
     import threading
 
+    put = put or jax.device_put
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
     _END = object()
 
     def producer():
         try:
             for item in iterator:
-                q.put(jax.device_put(item))
+                q.put(put(item))
         finally:
             q.put(_END)
 
@@ -103,18 +105,24 @@ def make_logger(cfg: Config) -> Callable:
 
 def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
                     rng: np.random.Generator, key, epoch: int,
-                    log=print, lr_scale: float = 1.0) -> tuple:
+                    log=print, lr_scale: float = 1.0,
+                    step_fn=None) -> tuple:
     """One training epoch (`run_a_generic_epoch('train')`, train.py:54-212).
     Returns (state, metrics dict). Train RMSD is metered on ~10% of batches
-    (train.py:136). `lr_scale` is the per-epoch scheduler factor."""
+    (train.py:136). `lr_scale` is the per-epoch scheduler factor. `step_fn`
+    swaps the optimizer step (the mesh path of `fit`); defaults to the
+    single-chip `train_step`."""
+    step_fn = step_fn or train_step
+    put_fn = getattr(step_fn, "put_fn", None)
     meter = RmsdMeter()
     sums: Dict[str, float] = {}
     num_batches = 0
     num_clips = 0
     scale = jnp.asarray(lr_scale, jnp.float32)
-    for batch in prefetch_to_device(ds.batches(rng, shuffle=True)):
+    for batch in prefetch_to_device(ds.batches(rng, shuffle=True),
+                                    put=put_fn):
         key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub, cfg, scale)
+        state, metrics = step_fn(state, batch, sub, cfg, scale)
         num_batches += 1
         for k in ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss"):
             sums[k] = sums.get(k, 0.0) + float(metrics[k])
@@ -123,10 +131,13 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
         # sampling) never report a NaN train RMSD; the uniform draw happens
         # unconditionally to keep the rng stream identical to prior runs
         sampled = rng.uniform() < cfg.train.train_rmsd_fraction
-        if num_batches == 1 or sampled:
+        if (num_batches == 1 or sampled) and "ligand_coords" in metrics:
             # meter from the training forward's own coords (train.py:133-137
             # semantics) — no second forward; the array only leaves the
-            # device on these sampled batches
+            # device on these sampled batches. The mesh step omits the coords
+            # (replicated out_shardings would force an all-gather per step),
+            # so the mesh path's train RMSD reads nan; val metering (the
+            # selection signal) is unaffected.
             meter.update_batch(batch, np.asarray(metrics["ligand_coords"]))
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")
@@ -213,6 +224,36 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     ckpt_path = os.path.join(
         ckpt_dir, checkpoint_name or (cfg.data.data + "_model_best"))
 
+    # Mesh training (SURVEY §2.2): dp shards the complex axis, gp the node
+    # axis; parameters replicated, XLA inserts the gradient psum / boundary
+    # gathers. Same step math as single-chip (`step_body`), proven equal by
+    # tests/test_parallel.py. The explicit halo-exchange variant stays
+    # available through `parallel.halo.make_halo_train_step` for
+    # collective-level control; the SPMD-annotation path is the production
+    # default here.
+    step_fn = None
+    par = cfg.parallel
+    if par.dp * par.gp > 1:
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+        from ..parallel.train import make_parallel_train_step
+
+        assert not cfg.data.pack, \
+            "mesh training does not support packed batches yet (-pack)"
+        assert cfg.train.bs % par.dp == 0, (cfg.train.bs, par.dp)
+        mesh = make_mesh(par.dp, par.gp,
+                         devices=jax.devices()[: par.dp * par.gp])
+        pstep = make_parallel_train_step(cfg, mesh,
+                                         shard_nodes=par.gp > 1)
+
+        def step_fn(state_, batch, sub, _cfg, scale):
+            return pstep(state_, batch, sub, scale)
+
+        step_fn.put_fn = lambda b: shard_batch(b, mesh,
+                                               shard_nodes=par.gp > 1)
+        state = jax.tree.map(lambda x: replicate(x, mesh), state)
+        log(f"mesh training: dp={par.dp} x gp={par.gp} over "
+            f"{par.dp * par.gp} of {len(jax.devices())} devices")
+
     best_val = float("inf")
     best_epoch = -1
     patience_left = cfg.train.patience
@@ -233,7 +274,7 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         t0 = time.time()
         lr_scale = epoch_lr_factor(cfg.train, epoch, plateau)
         state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log,
-                                    lr_scale=lr_scale)
+                                    lr_scale=lr_scale, step_fn=step_fn)
         key = jax.random.fold_in(key, epoch + 1)
         reps = [run_eval_epoch(state.params, val_ds, cfg, rng,
                                 state.bn_state)
