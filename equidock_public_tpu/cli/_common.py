@@ -78,9 +78,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-random_seed", type=int, default=8)
     p.add_argument("-val_repeats", type=int, default=1)
     p.add_argument("-select_metric", default="crmsd",
-                   choices=["crmsd", "irmsd", "sum"],
+                   choices=["crmsd", "irmsd", "sum", "bar"],
                    help="early-stopping selection metric: val CRMSD median "
-                        "(the reference's rule), IRMSD median, or their sum")
+                        "(the reference's rule), IRMSD median, their sum, or "
+                        "'bar' = worst violation of the dual-parity bar "
+                        "(max(crmsd-14.2, irmsd-12.1))")
     p.add_argument("-ot_solver", default="sinkhorn",
                    choices=["sinkhorn", "exact"],
                    help="'exact' = scipy-LP host callback with the "

@@ -191,6 +191,13 @@ def selection_value(va: Dict[str, float], metric: str) -> float:
         return va["interface_rmsd_median"]
     if metric == "sum":
         return va["complex_rmsd_median"] + va["interface_rmsd_median"]
+    if metric == "bar":
+        # worst constraint violation vs the dual-parity bar (reference
+        # committed model: 14.14 CRMSD / 11.97 IRMSD medians): an epoch
+        # satisfying BOTH scores negative; 'sum' can trade one metric away,
+        # 'bar' cannot. Both terms are in Angstrom.
+        return max(va["complex_rmsd_median"] - 14.2,
+                   va["interface_rmsd_median"] - 12.1)
     raise ValueError(f"unknown select_metric {metric!r}")
 
 

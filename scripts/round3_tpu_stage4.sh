@@ -21,7 +21,7 @@ run_ft() {
     -fine_tune_from "$FROM" \
     "$@" \
     -lr 1e-4 -w_decay 1e-4 -patience 400 -bs 4 \
-    -val_repeats 6 -select_metric sum \
+    -val_repeats 6 -select_metric bar \
     -random_seed "$SEED" -max_seconds "$MAXS" \
     -node_buckets 512,1024,2048,3072 -pocket_buckets 256,512,1024 \
     -cache_dir ./cache -checkpoint_dir "./checkpts_small/$NAME" \
