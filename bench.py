@@ -97,10 +97,21 @@ def epoch_bench(mode: str):
         jax.block_until_ready(m["loss"])
         return state, key, n
 
-    state, key, _ = one_epoch(state, key, seed=0)   # compile epoch
+    # Warm until the shape set is (probably) closed: with shuffled epochs the
+    # chunk compositions — hence padded shapes — differ per epoch, so ONE
+    # warm epoch leaves fresh compiles inside the timed epoch for fine-bucket
+    # or packed configs (~30 s each on the tunnel; the round-3 stage-3 run
+    # measured compile noise, not throughput). BENCH_WARM_EPOCHS (default 3)
+    # warm epochs with distinct seeds, then BENCH_TIMED_EPOCHS (default 2)
+    # timed epochs, reporting aggregate pairs/s.
+    warm = int(os.environ.get("BENCH_WARM_EPOCHS", "3"))
+    timed = int(os.environ.get("BENCH_TIMED_EPOCHS", "2"))
+    for w in range(warm):
+        state, key, _ = one_epoch(state, key, seed=w)
     t0 = time.perf_counter()
-    state, key, n_batches = one_epoch(state, key, seed=1)
-    dt = time.perf_counter() - t0
+    for t in range(timed):
+        state, key, n_batches = one_epoch(state, key, seed=warm + t)
+    dt = (time.perf_counter() - t0) / max(timed, 1)
 
     if cfg.data.pack:
         # realized waste of the packed epoch: valid node rows vs padded

@@ -9,7 +9,25 @@ Q=results/round3_queue
 log() { echo "[r3q6] $(date '+%H:%M:%S') $*" >> $Q/queue.log; }
 
 while ! grep -q "stage5 done" $Q/queue.log; do sleep 60; done
-log "stage6: TPU free, bar-selection s16l3 trials"
+log "stage6: TPU free, corrected packed benches then bar-selection trials"
+
+# Corrected packed-vs-unpacked epoch A/B: warm 4 shuffled epochs (shape-set
+# closure) then time 2 (BENCH_WARM_EPOCHS/BENCH_TIMED_EPOCHS; the stage-3
+# run timed compile noise on fresh shapes, not throughput).
+FINE=64,128,192,256,320,384,448,512,640,768,1024,1536,2048,3072
+COARSE=512,1024,2048,3072
+runb() {
+  NAME=$1; shift
+  OUT=$(env "$@" BENCH_WARM_EPOCHS=4 BENCH_TIMED_EPOCHS=2 timeout 3000 python bench.py 2>/dev/null | tail -1)
+  log "benchv2 $NAME $OUT"
+  echo "$OUT" >> $Q/stage6_bench.jsonl
+}
+runb db5_unpacked_coarse BENCH_MODE=db5_epoch BENCH_BUCKETS=$COARSE
+runb db5_packed_c10      BENCH_MODE=db5_epoch BENCH_BUCKETS=$FINE BENCH_PACK=10
+runb db5_packed_c10_coarse BENCH_MODE=db5_epoch BENCH_BUCKETS=$COARSE BENCH_PACK=10
+runb dips_unpacked       BENCH_MODE=dips_epoch BENCH_BUCKETS=$FINE
+runb dips_packed_c10     BENCH_MODE=dips_epoch BENCH_BUCKETS=$FINE BENCH_PACK=10
+log "stage6 benches done"
 
 run_trial() {
   NAME=$1; SEED=$2; MAXS=$3; shift 3
