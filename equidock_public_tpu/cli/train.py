@@ -38,6 +38,13 @@ def main():
     p.add_argument("-freeze_original", action="store_true",
                    help="with -fine_tune_from: train only the refinement "
                         "stage, stage-1 trunk frozen")
+    p.add_argument("-fine_tune_init", default="random",
+                   choices=["random", "copy"],
+                   help="refinement-stage init: fresh random, or copy the "
+                        "stage-1 trunk's matching leaves (the fine-tune "
+                        "layers' extra ft_att_* stay random) so stage 2 "
+                        "starts as 're-dock the stage-1 pose' instead of a "
+                        "random perturbation of it")
     a = p.parse_args()
     assert not (a.continue_train_model and a.fine_tune_from), \
         "-continue_train_model and -fine_tune_from are mutually exclusive"
@@ -73,8 +80,20 @@ def main():
         payload, _, _ = load_checkpoint(a.fine_tune_from, tmpl)
         fresh = init_docking_model(
             jax.random.PRNGKey(cfg.train.random_seed), cfg.model)
+        finetune = fresh["finetune"]
+        if a.fine_tune_init == "copy":
+            def merge_common(dst, src):
+                if isinstance(dst, dict):
+                    return {k: (merge_common(dst[k], src[k]) if k in src
+                                else dst[k]) for k in dst}
+                if (src is not None and dst is not None
+                        and getattr(src, "shape", None) == dst.shape):
+                    return src
+                return dst
+
+            finetune = merge_common(finetune, payload["params"]["original"])
         params = {"original": payload["params"]["original"],
-                  "finetune": fresh["finetune"]}
+                  "finetune": finetune}
         state = create_train_state(params, cfg)
         print(f"Fine-tuning from {a.fine_tune_from} (stage-1 best epoch "
               f"{epoch}); original stage "
