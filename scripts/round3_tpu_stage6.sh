@@ -63,6 +63,41 @@ run_trial() {
   log "$NAME score $SCORE"
 }
 
+# copy-init frozen refinement on the small trunk: starts AT stage-1 quality
+run_ft_copy() {
+  NAME=$1; SEED=$2; MAXS=$3
+  log "$NAME: fine_tune_from=small_s2 copy-init frozen seed=$SEED"
+  rm -rf "./checkpts_small/$NAME"
+  timeout $((MAXS + 600)) python -m equidock_public_tpu.cli.train -toy -data db5 \
+    -fine_tune_from artifacts/db5_model_small_s2 -freeze_original \
+    -fine_tune_init copy \
+    -lr 1e-4 -w_decay 1e-4 -patience 400 -bs 4 \
+    -val_repeats 6 -select_metric bar \
+    -random_seed "$SEED" -max_seconds "$MAXS" \
+    -node_buckets 512,1024,2048,3072 -pocket_buckets 256,512,1024 \
+    -cache_dir ./cache -checkpoint_dir "./checkpts_small/$NAME" \
+    -compile_cache ./jax_cache > "$Q/$NAME.log" 2>&1
+  RC=$?
+  log "$NAME train exit=$RC"
+  if [ "$RC" -ne 0 ]; then log "$NAME: ABORTED (train failed)"; return 1; fi
+  CKPT=$(ls -dt ./checkpts_small/$NAME/*/db5_model_best 2>/dev/null | head -1)
+  if [ -z "$CKPT" ]; then log "$NAME: no checkpoint"; return 1; fi
+  OUT="results/db5_$NAME"
+  rm -rf "$OUT"; mkdir -p "$OUT"
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 1800 \
+    python -m equidock_public_tpu.cli.inference -checkpoint "$CKPT" \
+    -input_dir /root/reference/test_sets_pdb/db5_test_random_transformed/random_transformed \
+    -ground_truth_dir /root/reference/test_sets_pdb/db5_test_random_transformed/complexes \
+    -output_dir "$OUT" -node_buckets 512,1024,2048,3072 -pocket_buckets 256 \
+    >> "$Q/$NAME.log" 2>&1
+  SCORE=$(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 600 \
+    python -m equidock_public_tpu.cli.eval_outputs -input_dir "$OUT" \
+    -ground_truth_dir /root/reference/test_sets_pdb/db5_test_random_transformed/complexes \
+    -method EQUIDOCK_TPU 2>/dev/null | grep num_files)
+  log "$NAME score $SCORE"
+}
+run_ft_copy r3_ftcopy_frozen_s40 40 2400
 run_trial r3_barsel_s16l3_s40 40 2700
+run_ft_copy r3_ftcopy_frozen_s41 41 2400
 run_trial r3_barsel_s16l3_s42 42 2700
 log "stage6 done"
