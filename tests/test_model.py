@@ -119,6 +119,32 @@ def test_se3_invariance_ligand_frame(rng):
         np.asarray(out0["ligand_coords"]) * mask, rtol=1e-3, atol=5e-3)
 
 
+def test_role_symmetry_swap_gives_exact_inverse_rigid(rng):
+    """Swapping ligand/receptor roles yields the EXACT inverse rigid:
+    R_swap = R^T, t_swap = -R^T t. The keypoint head Kabsch-fits ligand
+    keypoints onto receptor keypoints with side-symmetric trunk weights, so
+    reversing the roles reverses the same fit (measured at 1e-6 on the real
+    frozen test set too, scripts/swap_tta.py) — role-swap TTA is a no-op."""
+    cfg = tiny_config()
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    batch = synth_batch(rng, B=2, N_l=16, N_r=16, n_l=14, n_r=13,
+                        coord_scale=400.0)
+    swapped = batch.replace(lig=batch.rec, rec=batch.lig,
+                            gt_lig=batch.gt_lig[:, : batch.rec.x.shape[1]])
+
+    out = _forward(cfg, params, batch)
+    out_s = _forward(cfg, params, swapped)
+    R = np.asarray(out["R"])
+    t = np.asarray(out["t"])
+    R_s = np.asarray(out_s["R"])
+    t_s = np.asarray(out_s["t"])
+    for b in range(R.shape[0]):
+        np.testing.assert_allclose(R_s[b], R[b].T, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            t_s[b].reshape(3), -(R[b].T @ t[b].reshape(3)),
+            rtol=1e-3, atol=1e-3)
+
+
 def test_shared_layers_param_structure():
     cfg_shared = tiny_config(shared_layers=True, iegmn_n_lays=4)
     cfg_unshared = tiny_config(shared_layers=False, iegmn_n_lays=4)
