@@ -32,7 +32,7 @@ def make_mesh(dp: Optional[int] = None, gp: int = 1,
     return Mesh(dev_array, axis_names=("data", "graph"))
 
 
-def protein_pspec(shard_nodes: bool) -> ProteinBatch:
+def protein_pspec(shard_nodes: bool, packed: bool = False) -> ProteinBatch:
     """PartitionSpecs for one ProteinBatch: batch over 'data', optionally the
     node axis over 'graph'."""
     n = "graph" if shard_nodes else None
@@ -44,26 +44,36 @@ def protein_pspec(shard_nodes: bool) -> ProteinBatch:
         nbr_mask=P("data", n, None),
         edge_feat=P("data", n, None, None),
         node_mask=P("data", n),
+        seg_id=P("data", n) if packed else None,
     )
 
 
-def batch_pspec(shard_nodes: bool = False) -> PairBatch:
-    """PartitionSpecs for a PairBatch."""
+def batch_pspec(shard_nodes: bool = False, packed: bool = False,
+                n_segs: int = 1) -> PairBatch:
+    """PartitionSpecs for a PairBatch. `packed` batches carry a seg axis on
+    the pocket arrays plus seg_id/seg_mask; the slot dim stays the
+    dp-sharded batch dim (slot_count_buckets must be multiples of dp).
+    `n_segs` must equal the batches' static n_segs (a non-node pytree
+    field, so spec trees must carry the same value to match treedefs)."""
+    seg = (None,) if packed else ()
     return PairBatch(
-        lig=protein_pspec(shard_nodes),
-        rec=protein_pspec(shard_nodes),
+        lig=protein_pspec(shard_nodes, packed),
+        rec=protein_pspec(shard_nodes, packed),
         gt_lig=P("data", "graph" if shard_nodes else None, None),
-        pocket_lig=P("data", None, None),
-        pocket_rec=P("data", None, None),
-        pocket_mask=P("data", None),
+        pocket_lig=P("data", *seg, None, None),
+        pocket_rec=P("data", *seg, None, None),
+        pocket_mask=P("data", *seg, None),
         pair_mask=P("data"),
+        seg_mask=P("data", None) if packed else None,
+        n_segs=n_segs,
     )
 
 
 def shard_batch(batch: PairBatch, mesh: Mesh,
                 shard_nodes: bool = False) -> PairBatch:
     """Place a host PairBatch onto the mesh with the training shardings."""
-    specs = batch_pspec(shard_nodes)
+    specs = batch_pspec(shard_nodes, packed=batch.seg_mask is not None,
+                        n_segs=batch.n_segs)
     return jax.tree.map(
         # None pairs = absent optional fields (seg_id/seg_mask on unpacked
         # batches) — pass through

@@ -23,15 +23,20 @@ from ..train.step import TrainState, step_body
 from .mesh import batch_pspec
 
 
-def make_parallel_train_step(cfg: Config, mesh: Mesh, shard_nodes: bool = False):
+def make_parallel_train_step(cfg: Config, mesh: Mesh,
+                             shard_nodes: bool = False,
+                             packed: bool = False, n_segs: int = 1):
     """Returns a jitted train step with explicit in/out shardings over `mesh`.
 
     The step math is `train.step.step_body` — the exact function the
     single-chip path jits — so lr_scale scheduling, clip telemetry and any
-    future change apply to both paths identically."""
+    future change apply to both paths identically. `packed` batches shard
+    their slot dim over 'data' (slot-count buckets must be multiples of
+    dp; `fit` rounds them up)."""
     repl = NamedSharding(mesh, P())
     batch_shardings = jax.tree.map(
-        lambda s: NamedSharding(mesh, s), batch_pspec(shard_nodes),
+        lambda s: NamedSharding(mesh, s),
+        batch_pspec(shard_nodes, packed, n_segs),
         is_leaf=lambda x: isinstance(x, P))
 
     def step(state: TrainState, batch: PairBatch, rng, lr_scale):

@@ -241,16 +241,28 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     step_fn = None
     par = cfg.parallel
     if par.dp * par.gp > 1:
+        import dataclasses
+
         from ..parallel.mesh import make_mesh, replicate, shard_batch
         from ..parallel.train import make_parallel_train_step
 
-        assert not cfg.data.pack, \
-            "mesh training does not support packed batches yet (-pack)"
         assert cfg.train.bs % par.dp == 0, (cfg.train.bs, par.dp)
+        packed = cfg.data.pack and cfg.data.pack_max_per_slot > 1
+        if packed and par.dp > 1:
+            # the packed slot dim is dp-sharded: round every slot-count
+            # bucket up to a multiple of dp so the shard is always exact
+            scb = tuple(sorted({((b + par.dp - 1) // par.dp) * par.dp
+                                for b in cfg.data.slot_count_buckets}))
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data,
+                                              slot_count_buckets=scb))
+            train_ds.cfg = cfg
+            log(f"packed mesh training: slot-count buckets -> {scb}")
         mesh = make_mesh(par.dp, par.gp,
                          devices=jax.devices()[: par.dp * par.gp])
-        pstep = make_parallel_train_step(cfg, mesh,
-                                         shard_nodes=par.gp > 1)
+        pstep = make_parallel_train_step(
+            cfg, mesh, shard_nodes=par.gp > 1, packed=packed,
+            n_segs=cfg.data.pack_max_per_slot if packed else 1)
 
         def step_fn(state_, batch, sub, _cfg, scale):
             return pstep(state_, batch, sub, scale)

@@ -23,14 +23,18 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
                                 reason="needs 4 virtual devices")
 
 
-def _cfg(tmp_path, dp, gp, tag):
+def _cfg(tmp_path, dp, gp, tag, pack=False):
     return Config(
         model=ModelConfig(residue_emb_dim=8, iegmn_lay_hid_dim=8,
                           iegmn_n_lays=2, num_att_heads=4),
         train=TrainConfig(sinkhorn_iters=20, bs=4, num_epochs=2,
                           val_repeats=1, lr=1e-3),
         data=DataConfig(cache_dir=str(tmp_path / "cache"),
-                        node_buckets=(16, 32), pocket_buckets=(8,)),
+                        node_buckets=(16, 32, 48, 64), pocket_buckets=(8,),
+                        # already multiples of dp=2 so the mesh run's bucket
+                        # rounding is a no-op and both runs share one plan
+                        pack=pack, pack_max_per_slot=2,
+                        slot_count_buckets=(2, 4)),
         parallel=ParallelConfig(dp=dp, gp=gp),
         checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
         log_dir=str(tmp_path / "logs"),
@@ -64,3 +68,32 @@ def test_fit_mesh_matches_single_device(tmp_path):
     v1 = float(t1.split("crmsd med ")[1].split()[0])
     v2 = float(t2.split("crmsd med ")[1].split()[0])
     assert abs(v1 - v2) < 1e-2, (t1, t2)
+
+
+def test_fit_mesh_packed_matches_single_device(tmp_path):
+    """Packed batches compose with dp-sharded mesh training: the slot dim
+    is sharded over 'data' (slot-count buckets rounded to multiples of dp)
+    and the run reproduces the single-device packed run."""
+    rng = np.random.default_rng(1)
+    cfg1 = _cfg(tmp_path, 1, 1, "single_p", pack=True)
+    os.makedirs(cfg1.cache_path(), exist_ok=True)
+    for split, n in (("train", 10), ("val", 4), ("test", 4)):
+        np.savez(os.path.join(cfg1.cache_path(), f"{split}.npz"),
+                 **_synth_split(rng, n))
+
+    logs1, logs2 = [], []
+    state1 = fit(cfg1, max_epochs=2,
+                 log=lambda *a: logs1.append(" ".join(map(str, a))))
+    cfg2 = _cfg(tmp_path, 2, 1, "mesh_p", pack=True)
+    state2 = fit(cfg2, max_epochs=2,
+                 log=lambda *a: logs2.append(" ".join(map(str, a))))
+
+    assert any("packed mesh training: slot-count buckets -> (2, 4)" in l
+               for l in logs2), [l for l in logs2 if "mesh" in l]
+    # rounding the slot-count buckets to multiples of dp changes shapes but
+    # not semantics (padding slots are fully masked), so the parameter
+    # trajectories agree
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
