@@ -145,12 +145,15 @@ class DockingDataset:
                 and cfg.data.stream_dips):
             # Streaming mode: never materialize the corpus. Sizes/codes come
             # from the shard index; samples are fetched through a bounded
-            # shard LRU (capacity 2x window: current window + prefetch).
+            # shard LRU. Capacity = one window (batches within a window only
+            # touch that window's shards); the next window's prefetch
+            # futures live outside the cache, so peak residency is
+            # 2 x stream_window shards total.
             from .dips import DipsShardIndex, ShardLRU
 
             self.index = DipsShardIndex(cfg.cache_path(), split)
             self._lru = ShardLRU(self.index.shard_paths,
-                                 capacity=2 * cfg.data.stream_window)
+                                 capacity=max(1, cfg.data.stream_window))
             self.samples = None
             self.codes = list(self.index.codes)
         elif cfg.data.data == "dips" and cache_path is None:

@@ -227,18 +227,27 @@ class DipsShardIndex:
         self.n_pocket: List[int] = []
         for si, path in enumerate(self.shard_paths):
             sidecar = path + ".index.json"
+            meta = None
             if os.path.exists(sidecar):
-                with open(sidecar) as f:
-                    meta = json.load(f)
-            else:
+                try:
+                    with open(sidecar) as f:
+                        meta = json.load(f)
+                except ValueError:
+                    meta = None  # truncated sidecar (killed mid-write): rederive
+            if meta is None:
                 samples, names = load_shard_samples(path)
                 meta = {"codes": [str(n) for n in names],
                         "n_lig": [s.lig.num_nodes for s in samples],
                         "n_rec": [s.rec.num_nodes for s in samples],
                         "n_pocket": [int(s.pocket.shape[0]) for s in samples]}
                 try:
-                    with open(sidecar, "w") as f:
+                    # atomic write: queue scripts run training under
+                    # `timeout`, and a SIGKILL mid-dump must not leave a
+                    # truncated sidecar that bricks every later run
+                    tmp = sidecar + ".tmp"
+                    with open(tmp, "w") as f:
                         json.dump(meta, f)
+                    os.replace(tmp, sidecar)
                 except OSError:
                     pass  # read-only cache dir: derive again next run
             k = len(meta["codes"])

@@ -229,15 +229,23 @@ def _snake_partition(order: List[int], n_slots: int) -> List[List[int]]:
     return slots
 
 
-def _plan_cost(slots, sizes_l, sizes_r, node_buckets, slot_count_buckets):
-    """Total padded node slots of a plan: every slot pads to the plan's max
-    packed (lig, rec) buckets and the slot count pads to its bucket — the
-    exact shapes `collate_packed` produces."""
+def packed_shape(slots, sizes_l, sizes_r, node_buckets, slot_count_buckets):
+    """(B, b_l, b_r) the packed collate will produce for this plan: every
+    slot pads to the plan's max packed (lig, rec) buckets and the slot count
+    pads to its bucket. Single source of truth for the packed shape policy
+    (used by `collate_packed`, the plan cost, and `utils.padding`)."""
     B = bucket_for(len(slots), slot_count_buckets)
     b_l = bucket_for(max(sum(sizes_l[i] for i in s) for s in slots),
                      node_buckets)
     b_r = bucket_for(max(sum(sizes_r[i] for i in s) for s in slots),
                      node_buckets)
+    return B, b_l, b_r
+
+
+def _plan_cost(slots, sizes_l, sizes_r, node_buckets, slot_count_buckets):
+    """Total padded node slots of a plan (see `packed_shape`)."""
+    B, b_l, b_r = packed_shape(slots, sizes_l, sizes_r, node_buckets,
+                               slot_count_buckets)
     return B * (b_l + b_r)
 
 
@@ -383,12 +391,11 @@ def collate_packed(
                                [g.num_nodes for g in recs],
                                node_buckets, max_per_slot,
                                slot_count_buckets)
-    B = bucket_for(len(slot_assign), slot_count_buckets)
+    B, n_l, n_r = packed_shape(slot_assign,
+                               [g.num_nodes for g in ligs],
+                               [g.num_nodes for g in recs],
+                               node_buckets, slot_count_buckets)
     C = max_per_slot
-    n_l = bucket_for(max(sum(ligs[i].num_nodes for i in s)
-                         for s in slot_assign), node_buckets)
-    n_r = bucket_for(max(sum(recs[i].num_nodes for i in s)
-                         for s in slot_assign), node_buckets)
     P = bucket_for(max(p.shape[0] for p in pockets_lig), pocket_buckets)
     pad_slots = [[] for _ in range(B - len(slot_assign))]
     slot_assign = list(slot_assign) + pad_slots

@@ -121,26 +121,32 @@ class HaloStats:
     hring_rec: int
     hres_lig: int            # padded residual-tier width (rows per pair)
     hres_rec: int
-    # ragged transport: (R_next, R_prev) flat widths per side, else None
+    # ragged transport: (R_next, R_prev) flat widths per side, else None;
+    # dp records the ragged packing's group count (widths are per dp-group)
     ring_flat_lig: Optional[Tuple[int, int]] = None
     ring_flat_rec: Optional[Tuple[int, int]] = None
+    dp: int = 1
 
     def bytes_per_layer(self, feat_dim: int, padded: bool = True) -> int:
         """Per-layer bytes RECEIVED per chip (x and h fused: feat_dim + 3
         f32). `padded=True` counts the shipped buffers as compiled: for the
-        ragged ring tier the two per-direction flat totals, otherwise two
-        B x Hr ring chunks; plus gp residual chunks per side."""
+        ragged ring tier the two per-direction flat totals (already
+        per-dp-group), otherwise two B x Hr ring chunks; plus gp residual
+        chunks per side. The per-chip batch share is B/dp throughout."""
         gp = self.sizes_lig.shape[1]
         B = self.sizes_lig.shape[0]
         row = 4 * (feat_dim + 3)
+        res = (B // max(self.dp, 1)) * gp * (self.hres_lig + self.hres_rec)
         if padded:
             if self.ring_flat_lig is not None:
                 ring = (sum(self.ring_flat_lig) + sum(self.ring_flat_rec))
             else:
-                ring = B * 2 * (self.hring_lig + self.hring_rec)
-            per_chip = ring + B * gp * (self.hres_lig + self.hres_rec)
+                ring = (B // max(self.dp, 1)) * 2 * (self.hring_lig
+                                                     + self.hring_rec)
+            per_chip = ring + res
         else:
-            per_chip = int(self.sizes_lig.sum() + self.sizes_rec.sum()) // gp
+            per_chip = int(self.sizes_lig.sum()
+                           + self.sizes_rec.sum()) // gp // max(self.dp, 1)
         return per_chip * row
 
     def full_gather_bytes_per_layer(self, feat_dim: int, n_l: int, n_r: int,
@@ -302,7 +308,13 @@ def _pack_ring(plan: dict, sizes: np.ndarray, S: int, hr: int, dp: int):
 
     def pack(w, send):
         group_sum = w.reshape(dp, Bl, gp).sum(axis=1)          # (dp, gp)
-        R = max(1, _bucketed(int(group_sum.max()), Bl * S))
+        # multiple-of-32 rounding instead of HALO_BUCKETS: the flat total is
+        # a SUM of per-element demands, where the bucket ladder's big jumps
+        # (96->128->192->...) waste up to ~50% at exactly the sizes the
+        # ragged tier exists for; 32-granularity keeps the recompile set
+        # bounded while tracking the sum tightly
+        req = int(group_sum.max())
+        R = max(1, min(((req + 31) // 32) * 32, Bl * S)) if req else 1
         flat = np.zeros((dp, gp, R), np.int32)
         offs = np.zeros((dp, gp, Bl), np.int64)
         for d in range(dp):
@@ -393,7 +405,8 @@ def build_halo_batch(
     stats = HaloStats(sizes_lig=sz_l, sizes_rec=sz_r,
                       hring_lig=hr_l, hring_rec=hr_r,
                       hres_lig=hres_l, hres_rec=hres_r,
-                      ring_flat_lig=rf_l, ring_flat_rec=rf_r)
+                      ring_flat_lig=rf_l, ring_flat_rec=rf_r,
+                      dp=dp if ragged else 1)
     return hb, stats, perm_l, perm_r
 
 

@@ -114,6 +114,7 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
     single-chip `train_step`."""
     step_fn = step_fn or train_step
     put_fn = getattr(step_fn, "put_fn", None)
+    meter_rng = np.random.default_rng((cfg.train.random_seed, 7919, epoch))
     meter = RmsdMeter()
     sums: Dict[str, float] = {}
     num_batches = 0
@@ -128,9 +129,12 @@ def run_train_epoch(state: TrainState, ds: DockingDataset, cfg: Config,
             sums[k] = sums.get(k, 0.0) + float(metrics[k])
         num_clips += int(float(metrics["clipped"]))
         # always meter the first batch so short epochs (few batches x 10%
-        # sampling) never report a NaN train RMSD; the uniform draw happens
-        # unconditionally to keep the rng stream identical to prior runs
-        sampled = rng.uniform() < cfg.train.train_rmsd_fraction
+        # sampling) never report a NaN train RMSD. The sampling draw uses a
+        # DEDICATED rng: `rng` is consumed concurrently by the prefetch
+        # producer thread (ds.batches runs there), and np Generators are not
+        # thread-safe — drawing from it here raced the augmentation stream
+        # and silently broke seeded reproducibility.
+        sampled = meter_rng.uniform() < cfg.train.train_rmsd_fraction
         if (num_batches == 1 or sampled) and "ligand_coords" in metrics:
             # meter from the training forward's own coords (train.py:133-137
             # semantics) — no second forward; the array only leaves the
@@ -346,7 +350,13 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         # irmsd` selects on the interface metric, `sum` on CRMSD+IRMSD (both
         # in A) — used by the single-checkpoint-both-metrics campaign.
         sel = selection_value(va, cfg.train.select_metric)
-        if sel < best_val * 0.98:
+        # 0.98-improvement rule (sign-safe): require a >=2%-of-|best|
+        # improvement. The plain multiplicative form inverts for NEGATIVE
+        # selection values ('bar' goes negative exactly when both parity
+        # constraints are met), where best*0.98 is a WORSE value and a
+        # regressing epoch would overwrite the best checkpoint.
+        threshold = best_val * 0.98 if best_val >= 0 else best_val * 1.02
+        if sel < threshold:
             best_val = sel
             best_epoch = epoch
             patience_left = cfg.train.patience

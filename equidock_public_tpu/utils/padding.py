@@ -100,7 +100,7 @@ def waste_report_packed(sizes_lr: Sequence[Tuple[int, int]],
     exact packed-collate policy (size-sorted chunks of bs, `plan_packing`
     first-fit-decreasing into slots, slot-count bucketing with fully-masked
     padding slots)."""
-    from ..graph import plan_packing
+    from ..graph import packed_shape, plan_packing
 
     shapes = set()
     real_total = 0
@@ -111,11 +111,8 @@ def waste_report_packed(sizes_lr: Sequence[Tuple[int, int]],
         nr = [r for _, r in chunk]
         slots = plan_packing(nl, nr, tuple(node_buckets), max_per_slot,
                              tuple(slot_count_buckets))
-        B = bucket_for(len(slots), tuple(slot_count_buckets))
-        b_l = bucket_for(max(sum(nl[i] for i in s) for s in slots),
-                         tuple(node_buckets))
-        b_r = bucket_for(max(sum(nr[i] for i in s) for s in slots),
-                         tuple(node_buckets))
+        B, b_l, b_r = packed_shape(slots, nl, nr, tuple(node_buckets),
+                                   tuple(slot_count_buckets))
         shapes.add((B, b_l, b_r))
         real_total += sum(nl) + sum(nr)
         padded_total += B * (b_l + b_r)

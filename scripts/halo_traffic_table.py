@@ -61,11 +61,15 @@ def main():
                                                  dp=dp)
                 n_l = batch.lig.x.shape[1]
                 n_r = batch.rec.x.shape[1]
+                # per-chip fairness at the SAME dp: every accounting uses
+                # the B/dp per-chip batch share (HaloStats.dp; the padded
+                # plan is dp-independent so its stats just adopt dp)
+                st_p.dp = dp
                 acc["actual"] += st_p.bytes_per_layer(D, padded=False)
                 acc["padded"] += st_p.bytes_per_layer(D, padded=True)
                 acc["ragged"] += st_r.bytes_per_layer(D, padded=True)
                 acc["full"] += st_p.full_gather_bytes_per_layer(
-                    D, n_l, n_r, batch.pair_mask.shape[0])
+                    D, n_l, n_r, batch.pair_mask.shape[0]) // dp
             n = len(batches)
             kb = {k: v / n / 1024 for k, v in acc.items()}
             rows.append((name, gp, kb))
