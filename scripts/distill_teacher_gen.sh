@@ -29,3 +29,17 @@ if [ ! -f "$OUT/.done" ]; then
   log "teacher_small exit=$? files=$(ls $OUT/*.pdb 2>/dev/null | wc -l)"
 fi
 log "distill teacher stage done"
+
+# reverse direction: the 64-dim CRMSD champion as teacher
+OUT2=$D/teacher_best
+if [ ! -f "$OUT2/.done" ]; then
+  rm -rf "$OUT2"; mkdir -p "$OUT2"
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 7200 \
+    python -m equidock_public_tpu.cli.inference \
+    -checkpoint artifacts/db5_model_best \
+    -input_dir "$IN" -ground_truth_dir "$IN" -output_dir "$OUT2" \
+    -node_buckets 512,1024,2048,3072 -pocket_buckets 256 \
+    >> $D/gen.log 2>&1 && touch "$OUT2/.done"
+  log "teacher_best exit=$? files=$(ls $OUT2/*.pdb 2>/dev/null | wc -l)"
+fi
+log "distill teacher stage done (incl. reverse)"
