@@ -14,6 +14,17 @@ Q=results/round3_queue
 log() { echo "[r3q8] $(date '+%H:%M:%S') $*" >> $Q/queue.log; }
 log "stage8: resume after VM restart (caches cold: feature cache + jax_cache rebuilt on first trial)"
 
+# The feature cache is gitignored and died with the VM; wait for
+# `make preprocess` (launched alongside this queue) rather than letting
+# every trial fail fast on a missing npz (the round-2 stage-14 lesson).
+CACHE=./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/cv_0/train.npz
+for _ in $(seq 1 240); do [ -f "$CACHE" ] && break; sleep 15; done
+if [ ! -f "$CACHE" ]; then
+  log "FATAL: train cache still missing after 1h ($CACHE)"
+  exit 1
+fi
+log "stage8: feature cache present, starting trials"
+
 run_trial() {
   NAME=$1; SEED=$2; HID=$3; EMB=$4; LAYS=$5; MAXS=$6; shift 6
   log "$NAME: hid=$HID emb=$EMB lays=$LAYS seed=$SEED select=bar $*"
