@@ -88,7 +88,11 @@ def main():
                                 else dst[k]) for k in dst}
                 if (src is not None and dst is not None
                         and getattr(src, "shape", None) == dst.shape):
-                    return src
+                    # materialize a distinct buffer: the train step donates
+                    # state, and aliasing original/finetune leaves trips
+                    # "Attempt to donate the same buffer twice in Execute()"
+                    # (opaque INVALID_ARGUMENT on the TPU backend)
+                    return jnp.array(src)
                 return dst
 
             finetune = merge_common(finetune, payload["params"]["original"])
