@@ -112,6 +112,13 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                         "slot (seg-masked attention/losses; cuts the padding "
                         "floor on real epochs)")
     p.add_argument("-pack_max_per_slot", type=int, default=4)
+    p.add_argument("-device_resident", action="store_true",
+                   help="upload the padded split to HBM once and run each "
+                        "epoch as one lax.scan dispatch per bucket group "
+                        "(on-device swap + SE(3) augmentation); removes the "
+                        "per-step host collate/transfer cost and the "
+                        "transport RSS leak. Materialized datasets, "
+                        "single-chip, unpacked")
     p.add_argument("-dp", type=int, default=1,
                    help="data-parallel mesh size (shards the complex axis)")
     p.add_argument("-gp", type=int, default=1,
@@ -178,6 +185,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
                if a.pocket_buckets else {}),
             pack=a.pack, pack_max_per_slot=a.pack_max_per_slot,
+            device_resident=a.device_resident,
             stream_dips=a.stream_dips, stream_window=a.stream_window,
             distill_dir=a.distill_dir, distill_alpha=a.distill_alpha),
         parallel=ParallelConfig(dp=a.dp, gp=a.gp,

@@ -161,6 +161,14 @@ class DataConfig:
     # epoch); schedule code is otherwise identical.
     stream_dips: bool = False
     stream_window: int = 4
+    # Device-resident epochs (train/resident.py): upload the padded split to
+    # HBM once; per epoch only a (S, bs) int32 schedule + PRNG key cross the
+    # host->device boundary and each bucket group's steps run as ONE
+    # lax.scan dispatch. Kills both the tunnel-transport RSS leak (host RSS
+    # grows with bytes transferred; scripts/rss_probe.py) and the
+    # host-collate bottleneck of cached epochs. Materialized datasets only
+    # (db5 / non-streaming dips), single-chip, unpacked.
+    device_resident: bool = False
     # Pose distillation (round 3, VERDICT item-1 avenue b): blend a teacher
     # model's predicted train poses into the coordinate target,
     # gt <- (1-a)*gt + a*teacher. Gradient-identical to adding a*MSE(pred,

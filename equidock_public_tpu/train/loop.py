@@ -242,6 +242,34 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     # available through `parallel.halo.make_halo_train_step` for
     # collective-level control; the SPMD-annotation path is the production
     # default here.
+    # Device-resident epochs (train/resident.py): split uploaded to HBM once,
+    # one lax.scan dispatch per bucket group per epoch. Fixes the tunnel
+    # transport's byte-proportional host-RSS leak AND the host-collate
+    # bottleneck (VERDICT r3 items 2-3).
+    resident = None
+    if cfg.data.device_resident:
+        assert cfg.parallel.dp * cfg.parallel.gp == 1, \
+            "-device_resident is a single-chip path; drop -dp/-gp"
+        assert not cfg.data.pack, \
+            "-device_resident already removes the padding-collate cost; " \
+            "it does not compose with -pack"
+        from .resident import (build_resident_split,
+                               run_eval_epoch_resident,
+                               run_train_epoch_resident)
+
+        resident = {
+            "train": build_resident_split(train_ds, cfg),
+            "val": build_resident_split(val_ds, cfg),
+            "test": build_resident_split(test_ds, cfg),
+        }
+        n_bytes = sum(
+            x.size * x.dtype.itemsize
+            for rs in resident.values()
+            for x in jax.tree.leaves(rs.groups))
+        log(f"device-resident epochs: {n_bytes / 1e6:.0f} MB in HBM, "
+            f"groups/split = "
+            + str({k: sorted(rs.groups) for k, rs in resident.items()}))
+
     step_fn = None
     par = cfg.parallel
     if par.dp * par.gp > 1:
@@ -296,13 +324,24 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
             break
         t0 = time.time()
         lr_scale = epoch_lr_factor(cfg.train, epoch, plateau)
-        state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch, log,
-                                    lr_scale=lr_scale, step_fn=step_fn)
-        key = jax.random.fold_in(key, epoch + 1)
-        reps = [run_eval_epoch(state.params, val_ds, cfg, rng,
-                                state.bn_state)
-                for _ in range(max(cfg.train.val_repeats, 1))]
-        va = {k: float(np.mean([r[k] for r in reps])) for k in reps[0]}
+        if resident is not None:
+            state, tr = run_train_epoch_resident(
+                state, resident["train"], cfg, rng, key, epoch, log,
+                lr_scale=lr_scale, do_swap=train_ds.swap)
+            key = jax.random.fold_in(key, epoch + 1)
+            va = run_eval_epoch_resident(
+                state.params, resident["val"], cfg,
+                jax.random.fold_in(key, 7), bn_state=state.bn_state,
+                repeats=max(cfg.train.val_repeats, 1))
+        else:
+            state, tr = run_train_epoch(state, train_ds, cfg, rng, key, epoch,
+                                        log, lr_scale=lr_scale,
+                                        step_fn=step_fn)
+            key = jax.random.fold_in(key, epoch + 1)
+            reps = [run_eval_epoch(state.params, val_ds, cfg, rng,
+                                    state.bn_state)
+                    for _ in range(max(cfg.train.val_repeats, 1))]
+            va = {k: float(np.mean([r[k] for r in reps])) for k in reps[0]}
         if plateau is not None:
             new_scale = plateau.step(va["loss"])
             if new_scale != lr_scale:
@@ -376,7 +415,12 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         payload, _, _ = load_checkpoint(ckpt_path, state)
         state = TrainState(payload["params"], payload["opt_state"],
                            payload["step"], payload.get("bn_state", ()))
-    te = run_eval_epoch(state.params, test_ds, cfg, rng, state.bn_state)
+    if resident is not None:
+        te = run_eval_epoch_resident(state.params, resident["test"], cfg,
+                                     jax.random.fold_in(key, 13),
+                                     bn_state=state.bn_state)
+    else:
+        te = run_eval_epoch(state.params, test_ds, cfg, rng, state.bn_state)
     log(f"[FINAL TEST {cfg.data.data}] crmsd med {te['complex_rmsd_median']:.4f} "
         f"mean {te['complex_rmsd_mean']:.4f} loss {te['loss']:.4f}")
     return state

@@ -1,0 +1,398 @@
+"""Device-resident epochs: the whole cached split lives in HBM; one
+`lax.scan` dispatch runs a full train epoch (or all val repeats).
+
+Why this exists (round-4, VERDICT r3 items 2+3): the axon/TPU tunnel
+transport leaks host RSS proportionally to host->device bytes
+(scripts/rss_probe.py: ~9.8 MB RSS per 10 MB device_put, in every mode,
+flat on CPU backend) and the per-step collate+transfer makes real cached
+epochs host-bound (20 pairs/s vs 709 pairs/s synthetic). Both problems
+share one cause — per-step host->device traffic — and one fix: upload the
+padded split ONCE, then per epoch send only a (S, bs) int32 schedule and a
+PRNG key.
+
+The reference counterpart of what moves on-device here is the Dataset
+augmentation (`src/utils/db5_data.py:174-210`): the 50% ligand/receptor
+swap and the uniform random SE(3) pose are re-expressed as jax ops inside
+the jitted step. Everything static per pair (residue ids, neighbor
+tables, edge features — all invariant under rigid motion of the inputs)
+is gathered from the resident store by index.
+
+Layout: pairs are grouped by `bucket_for(max(n_lig, n_rec))` and BOTH
+sides pad to that bucket, so a role swap is shape-neutral (a masked
+`where`, not a reshape). One scan per group per epoch; the schedule is
+host-generated (np RNG, seeded) so runs stay reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import Config, bucket_for
+from ..graph import PairBatch, ProteinBatch, pad_protein
+from .meter import RmsdMeter
+from .step import TrainState, loss_fn, step_body
+
+_SCALARS = ("loss", "ligand_coors_loss", "ot_loss", "intersection_loss")
+
+
+@struct.dataclass
+class ResidentGroup:
+    """All pairs of one node-bucket group, padded to (N,) and stacked on a
+    leading pair axis P. Both sides share the same N so swap is a select."""
+
+    lig: ProteinBatch        # (P, N, ...) bound coordinates in .x
+    rec: ProteinBatch        # (P, N, ...)
+    gt_lig: jnp.ndarray      # (P, N, 3) bound ligand CA (MSE target)
+    gt_rec: jnp.ndarray      # (P, N, 3) bound receptor CA (target under swap)
+    pocket: jnp.ndarray      # (P, Pk, 3) pocket midpoints (frame-shared)
+    pocket_mask: jnp.ndarray  # (P, Pk)
+
+
+@dataclasses.dataclass
+class HostMeta:
+    """Host-side copies the meter needs (never re-uploaded)."""
+
+    n_lig: List[int]
+    n_rec: List[int]
+    gt_lig: List[np.ndarray]   # unpadded (n_l, 3)
+    gt_rec: List[np.ndarray]   # unpadded (n_r, 3) == bound receptor coords
+
+
+@dataclasses.dataclass
+class ResidentSplit:
+    groups: Dict[int, ResidentGroup]       # bucket N -> device arrays
+    metas: Dict[int, HostMeta]
+    bs: int
+
+
+def _side_to_fields(g, n_max: int) -> dict:
+    return pad_protein(g, n_max)
+
+
+def build_resident_split(ds, cfg: Config) -> ResidentSplit:
+    """Group a materialized DockingDataset by symmetric node bucket, pad,
+    stack, and push each group to the default device once."""
+    assert ds.samples is not None, "device_resident requires a materialized " \
+        "dataset (not stream_dips)"
+    by_bucket: Dict[int, List[int]] = {}
+    for i in range(len(ds.codes)):
+        b = bucket_for(ds.pair_max_nodes(i), cfg.data.node_buckets)
+        by_bucket.setdefault(b, []).append(i)
+
+    groups: Dict[int, ResidentGroup] = {}
+    metas: Dict[int, HostMeta] = {}
+    for b, idxs in sorted(by_bucket.items()):
+        pk = bucket_for(max(ds.pocket_size(i) for i in idxs),
+                        cfg.data.pocket_buckets)
+        sides = {"lig": [], "rec": []}
+        gts_l, gts_r, pockets, pmasks = [], [], [], []
+        meta = HostMeta([], [], [], [])
+        for i in idxs:
+            s = ds.get_sample(i)
+            sides["lig"].append(_side_to_fields(s.lig, b))
+            sides["rec"].append(_side_to_fields(s.rec, b))
+            gl = np.zeros((b, 3), np.float32)
+            gl[: s.gt_lig.shape[0]] = s.gt_lig
+            gr = np.zeros((b, 3), np.float32)
+            gr[: s.gt_rec.shape[0]] = s.gt_rec
+            gts_l.append(gl)
+            gts_r.append(gr)
+            p = np.zeros((pk, 3), np.float32)
+            pm = np.zeros(pk, np.float32)
+            p[: s.pocket.shape[0]] = s.pocket
+            pm[: s.pocket.shape[0]] = 1.0
+            pockets.append(p)
+            pmasks.append(pm)
+            meta.n_lig.append(s.lig.num_nodes)
+            meta.n_rec.append(s.rec.num_nodes)
+            meta.gt_lig.append(np.asarray(s.gt_lig, np.float32))
+            meta.gt_rec.append(np.asarray(s.gt_rec, np.float32))
+
+        def stack_side(cols):
+            stacked = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
+            return ProteinBatch(**{k: jnp.asarray(v)
+                                   for k, v in stacked.items()})
+
+        groups[b] = jax.device_put(ResidentGroup(
+            lig=stack_side(sides["lig"]), rec=stack_side(sides["rec"]),
+            gt_lig=jnp.asarray(np.stack(gts_l)),
+            gt_rec=jnp.asarray(np.stack(gts_r)),
+            pocket=jnp.asarray(np.stack(pockets)),
+            pocket_mask=jnp.asarray(np.stack(pmasks))))
+        metas[b] = meta
+    return ResidentSplit(groups=groups, metas=metas, bs=cfg.train.bs)
+
+
+# --------------------------------------------------------------------------- #
+# On-device augmentation (db5_data.py:174-210 semantics)
+# --------------------------------------------------------------------------- #
+
+def random_rotations(key, n: int) -> jnp.ndarray:
+    """(n, 3, 3) uniform rotations via normalized quaternions (equivalent in
+    distribution to scipy `Rotation.random`, `protein_utils.py:15-17`)."""
+    q = jax.random.normal(key, (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def assemble_batch(store: ResidentGroup, idx: jnp.ndarray, valid: jnp.ndarray,
+                   key, do_swap: bool, translation_interval: float,
+                   rigid: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                   swap_flag: Optional[jnp.ndarray] = None
+                   ) -> Tuple[PairBatch, jnp.ndarray]:
+    """Gather `idx` rows from the resident store, apply the 50% role swap and
+    a fresh uniform SE(3) pose to the ligand side — all on device.
+
+    `rigid`/`swap_flag` override the random draws (parity tests).
+    Returns (batch, swap_flag)."""
+    bs = idx.shape[0]
+    g = jax.tree.map(lambda t: t[idx], store)
+    k_swap, k_rot, k_dir, k_len = jax.random.split(key, 4)
+    if swap_flag is None:
+        if do_swap:
+            swap_flag = jax.random.bernoulli(k_swap, 0.5, (bs,))
+        else:
+            swap_flag = jnp.zeros((bs,), bool)
+
+    def sel(a, b):
+        f = swap_flag.reshape((bs,) + (1,) * (a.ndim - 1))
+        return jnp.where(f, a, b)
+
+    lig = jax.tree.map(sel, g.rec, g.lig)
+    rec = jax.tree.map(sel, g.lig, g.rec)
+    gt = sel(g.gt_rec, g.gt_lig)
+
+    if rigid is None:
+        rot = random_rotations(k_rot, bs)
+        d = jax.random.normal(k_dir, (bs, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        tr = d * jax.random.uniform(k_len, (bs, 1), minval=0.0,
+                                    maxval=translation_interval)
+    else:
+        rot, tr = rigid
+
+    mask = lig.node_mask                                   # (bs, N)
+    mean = ((lig.x * mask[..., None]).sum(axis=1)
+            / jnp.maximum(mask.sum(axis=1), 1.0)[..., None])  # (bs, 3)
+    new_x = jnp.einsum("bij,bnj->bni", rot, lig.x - mean[:, None]) \
+        + tr[:, None]
+    new_x = new_x * mask[..., None]
+    pocket_lig = jnp.einsum("bij,bpj->bpi", rot, g.pocket - mean[:, None]) \
+        + tr[:, None]
+
+    v = valid.astype(jnp.float32)                          # (bs,)
+    lig = lig.replace(x=new_x, node_mask=lig.node_mask * v[:, None],
+                      nbr_mask=lig.nbr_mask * v[:, None, None])
+    rec = rec.replace(node_mask=rec.node_mask * v[:, None],
+                      nbr_mask=rec.nbr_mask * v[:, None, None])
+    pk_mask = g.pocket_mask * v[:, None]
+    batch = PairBatch(
+        lig=lig, rec=rec, gt_lig=gt,
+        pocket_lig=pocket_lig * pk_mask[..., None],
+        pocket_rec=g.pocket * pk_mask[..., None],
+        pocket_mask=pk_mask,
+        pair_mask=v)
+    return batch, swap_flag
+
+
+# --------------------------------------------------------------------------- #
+# Jitted epoch scans
+# --------------------------------------------------------------------------- #
+
+@functools.partial(jax.jit, static_argnames=("cfg", "do_swap"),
+                   donate_argnums=(0,))
+def train_epoch_scan(state: TrainState, store: ResidentGroup,
+                     idx: jnp.ndarray, valid: jnp.ndarray, key,
+                     lr_scale: jnp.ndarray, cfg: Config, do_swap: bool):
+    """Run all S steps of one group's epoch slice in a single dispatch.
+    Returns (state, stacked metrics incl. per-step coords + swap flags)."""
+
+    def body(carry, inp):
+        st, k = carry
+        i, v = inp
+        k, k_aug, k_step = jax.random.split(k, 3)
+        batch, flag = assemble_batch(store, i, v, k_aug, do_swap,
+                                     cfg.graph.translation_interval)
+        st, m = step_body(st, batch, k_step, cfg, lr_scale)
+        out = {s: m[s] for s in _SCALARS}
+        out["clipped"] = m["clipped"]
+        out["coords"] = m.get("ligand_coords",
+                              jnp.zeros_like(batch.gt_lig))
+        out["swap"] = flag
+        return (st, k), out
+
+    (state, _), outs = jax.lax.scan(body, (state, key), (idx, valid))
+    return state, outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_epoch_scan(params, store: ResidentGroup, idx: jnp.ndarray,
+                    valid: jnp.ndarray, keys, bn_state, cfg: Config):
+    """All eval steps (incl. val repeats, folded into S) in one dispatch."""
+
+    def body(_, inp):
+        i, v, k = inp
+        batch, _ = assemble_batch(store, i, v, k, False,
+                                  cfg.graph.translation_interval)
+        loss, (metrics, out) = loss_fn(params, cfg, batch, None, False,
+                                       bn_state)
+        o = {s: metrics[s] for s in _SCALARS}
+        o["coords"] = out["ligand_coords"]
+        return None, o
+
+    _, outs = jax.lax.scan(body, None, (idx, valid, keys))
+    return outs
+
+
+# --------------------------------------------------------------------------- #
+# Host-side schedule + metering glue
+# --------------------------------------------------------------------------- #
+
+def _schedule(n: int, bs: int, rng: Optional[np.random.Generator]
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """(S, bs) index plan + validity; last chunk padded with repeats."""
+    order = (rng.permutation(n) if rng is not None
+             else np.arange(n)).astype(np.int32)
+    S = -(-n // bs)
+    idx = np.zeros((S, bs), np.int32)
+    valid = np.zeros((S, bs), np.float32)
+    flat = np.concatenate([order, np.full(S * bs - n, order[-1], np.int32)])
+    idx[:] = flat.reshape(S, bs)
+    valid.reshape(-1)[:n] = 1.0
+    return idx, valid
+
+
+def _meter_rows(meter: RmsdMeter, meta: HostMeta, idx: np.ndarray,
+                valid: np.ndarray, coords: np.ndarray,
+                swap: Optional[np.ndarray], meter_interface: bool) -> None:
+    """Meter one step's batch from returned predicted coords + static host
+    ground truth (no device batch needed)."""
+    for b in range(idx.shape[0]):
+        if valid[b] == 0:
+            continue
+        j = int(idx[b])
+        if swap is not None and swap[b]:
+            lt, rt = meta.gt_rec[j], meta.gt_lig[j]
+        else:
+            lt, rt = meta.gt_lig[j], meta.gt_rec[j]
+        nl = lt.shape[0]
+        lp = coords[b, :nl]
+        meter.update(lp, rt, lt, rt)
+        if meter_interface:
+            d = np.linalg.norm(lt[:, None, :] - rt[None, :, :], axis=-1)
+            ai, aj = np.where(d < 8.0)
+            if ai.size:
+                from .meter import complex_rmsd
+
+                _, _, irmsd = complex_rmsd(lp[ai], rt[aj], lt[ai], rt[aj])
+                meter.interface.append(irmsd)
+
+
+def run_train_epoch_resident(state: TrainState, rs: ResidentSplit,
+                             cfg: Config, rng: np.random.Generator, key,
+                             epoch: int, log=print, lr_scale: float = 1.0,
+                             do_swap: Optional[bool] = None
+                             ) -> Tuple[TrainState, Dict[str, float]]:
+    """Device-resident replacement for loop.run_train_epoch: one scan per
+    bucket group; host receives stacked scalars + sampled-coords metering."""
+    meter_rng = np.random.default_rng((cfg.train.random_seed, 7919, epoch))
+    meter = RmsdMeter()
+    sums: Dict[str, float] = {}
+    num_batches = 0
+    num_clips = 0
+    scale = jnp.asarray(lr_scale, jnp.float32)
+    buckets = list(rs.groups)
+    rng.shuffle(buckets)
+    first = True
+    for b in buckets:
+        meta = rs.metas[b]
+        idx, valid = _schedule(len(meta.n_lig), rs.bs, rng)
+        key, sub = jax.random.split(key)
+        swap = cfg.data.swap_train if do_swap is None else do_swap
+        state, outs = train_epoch_scan(state, rs.groups[b],
+                                       jnp.asarray(idx), jnp.asarray(valid),
+                                       sub, scale, cfg, swap)
+        S = idx.shape[0]
+        num_batches += S
+        host_scalars = {k: np.asarray(outs[k]) for k in
+                        _SCALARS + ("clipped",)}
+        for k in _SCALARS:
+            sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
+        num_clips += int(host_scalars["clipped"].sum())
+        # sampled train-RMSD metering (train.py:136): pull only the sampled
+        # steps' coords to host
+        sampled = [s for s in range(S)
+                   if meter_rng.uniform() < cfg.train.train_rmsd_fraction]
+        if first and 0 not in sampled:
+            sampled = [0] + sampled
+        first = False
+        if sampled:
+            coords = np.asarray(outs["coords"][np.asarray(sampled)])
+            swaps = np.asarray(outs["swap"][np.asarray(sampled)])
+            for si, s in enumerate(sampled):
+                _meter_rows(meter, meta, idx[s], valid[s], coords[si],
+                            swaps[si], meter_interface=False)
+    avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
+    _, _, crmsd_median = meter.summarize("median")
+    _, _, crmsd_mean = meter.summarize("mean")
+    avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
+               num_clips=num_clips, num_batches=num_batches)
+    return state, avg
+
+
+def run_eval_epoch_resident(params, rs: ResidentSplit, cfg: Config, key,
+                            repeats: int = 1, bn_state=()) -> Dict[str, float]:
+    """Device-resident eval: per group ONE dispatch covers all repeats (each
+    repeat re-draws the random pose, matching run_eval_epoch semantics).
+    Per-repeat metric dicts are averaged exactly like the loop's
+    `val_repeats` reduction (median within repeat, mean across)."""
+    reps: List[Dict[str, float]] = [dict() for _ in range(repeats)]
+    meters = [RmsdMeter() for _ in range(repeats)]
+    counts = [0] * repeats
+    for b, store in rs.groups.items():
+        meta = rs.metas[b]
+        idx, valid = _schedule(len(meta.n_lig), rs.bs, rng=None)
+        S = idx.shape[0]
+        idx_r = np.tile(idx, (repeats, 1))
+        valid_r = np.tile(valid, (repeats, 1))
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, S * repeats)
+        outs = eval_epoch_scan(params, store, jnp.asarray(idx_r),
+                               jnp.asarray(valid_r), keys, bn_state, cfg)
+        host = {k: np.asarray(v) for k, v in outs.items()}
+        for r in range(repeats):
+            for s in range(S):
+                row = r * S + s
+                for k in _SCALARS:
+                    reps[r][k] = reps[r].get(k, 0.0) + float(host[k][row])
+                counts[r] += 1
+                _meter_rows(meters[r], meta, idx[s], valid[s],
+                            host["coords"][row], None, meter_interface=True)
+    out_reps = []
+    for r in range(repeats):
+        avg = {k: v / max(counts[r], 1) for k, v in reps[r].items()}
+        m = meters[r]
+        lig_med, _, crmsd_median = m.summarize("median")
+        lig_mean, _, crmsd_mean = m.summarize("mean")
+        avg.update(complex_rmsd_median=crmsd_median,
+                   complex_rmsd_mean=crmsd_mean,
+                   ligand_rmsd_median=lig_med, ligand_rmsd_mean=lig_mean,
+                   interface_rmsd_median=m.summarize_interface("median"),
+                   interface_rmsd_mean=m.summarize_interface("mean"))
+        out_reps.append(avg)
+    return {k: float(np.mean([r[k] for r in out_reps])) for k in out_reps[0]}
