@@ -129,6 +129,10 @@ def main():
 
     log = make_logger(cfg)
     log("Model name ===> ", cfg.banner())
+    from ..models.iegmn import kernel_path_report
+
+    log("Kernel paths ===> ", kernel_path_report(
+        cfg.model, packed=cfg.data.pack and cfg.data.pack_max_per_slot > 1))
     if a.max_epochs is not None or a.max_seconds is not None:
         fit(cfg, state=state, max_epochs=a.max_epochs, log=log,
             max_seconds=a.max_seconds)

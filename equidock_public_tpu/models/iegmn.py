@@ -187,6 +187,50 @@ def init_bn_state(cfg: ModelConfig, n_lays: Optional[int] = None) -> dict:
 # Forward
 # --------------------------------------------------------------------------- #
 
+def fused_edge_eligible(cfg: ModelConfig, train: bool,
+                        debug: bool = False) -> bool:
+    """Whether the fused Pallas edge-message kernel covers this config.
+    The kernel bakes in lkyrelu, LN-or-none MLP norms, no coors-LN, no
+    dropout at train time; ineligible configs silently take the XLA path —
+    `kernel_path_report` surfaces that at startup (VERDICT r3 item 9)."""
+    return (cfg.fused_edge_message and not debug
+            and cfg.nonlin == "lkyrelu"
+            and (not train or cfg.dropout == 0.0)
+            and cfg.layer_norm in ("LN", "0")
+            and cfg.layer_norm_coors == "0")
+
+
+def kernel_path_report(cfg: ModelConfig, packed: bool = False) -> str:
+    """One-line description of the active compute paths for a training run,
+    logged at startup so a requested-but-ineligible fused kernel is visible
+    instead of a silent fallback (models/iegmn.py eligibility gates)."""
+    parts = []
+    if cfg.fused_edge_message:
+        if fused_edge_eligible(cfg, train=True):
+            parts.append("edge-message: fused Pallas"
+                         + (" (+fused bwd)" if cfg.fused_edge_bwd else ""))
+        else:
+            parts.append(
+                "edge-message: XLA FALLBACK (-fused_edge_message requires "
+                "dropout=0, layer_norm in {LN,0}, -layer_norm_coors 0, "
+                "lkyrelu)")
+    elif cfg.factored_edge_mlp:
+        parts.append("edge-message: XLA factored")
+    else:
+        parts.append("edge-message: XLA")
+    if cfg.use_fused_attention:
+        if packed:
+            parts.append("cross-attention: XLA FALLBACK (packed batches "
+                         "use the seg-masked XLA path)")
+        elif not cfg.cross_msgs:
+            parts.append("cross-attention: disabled (-cross_msgs 0)")
+        else:
+            parts.append("cross-attention: fused Pallas")
+    else:
+        parts.append("cross-attention: XLA")
+    return "; ".join(parts)
+
+
 def _rbf_of_sq_dist(x_rel: jnp.ndarray, enabled: bool) -> jnp.ndarray:
     """(B, N, K, 3) relative coords -> (B, N, K, 15) RBF of ||x_rel||^2
     (`rigid_docking_model.py:208-218`)."""
@@ -276,11 +320,8 @@ def iegmn_layer_forward(
     # Fused Pallas edge path: gathers, RBF, both edge MLPs and the segment
     # means run in one VMEM-resident kernel (ops/pallas/edge_message.py);
     # only (B, N, D) aggregates reach HBM. Covers the paper-model config.
-    use_fused_edge = (cfg.fused_edge_message and stats is None
-                      and cfg.nonlin == "lkyrelu"
-                      and (not train or cfg.dropout == 0.0)
-                      and cfg.layer_norm in ("LN", "0")
-                      and cfg.layer_norm_coors == "0")
+    use_fused_edge = fused_edge_eligible(cfg, train=train,
+                                         debug=stats is not None)
 
     def fused_edge(side: ProteinBatch, x, h, he, src):
         from ..ops.pallas.edge_message import edge_message_aggregate
