@@ -219,13 +219,11 @@ def kernel_path_report(cfg: ModelConfig, packed: bool = False) -> str:
     else:
         parts.append("edge-message: XLA")
     if cfg.use_fused_attention:
-        if packed:
-            parts.append("cross-attention: XLA FALLBACK (packed batches "
-                         "use the seg-masked XLA path)")
-        elif not cfg.cross_msgs:
+        if not cfg.cross_msgs:
             parts.append("cross-attention: disabled (-cross_msgs 0)")
         else:
-            parts.append("cross-attention: fused Pallas")
+            parts.append("cross-attention: fused Pallas"
+                         + (" (packed seg tags)" if packed else ""))
     else:
         parts.append("cross-attention: XLA")
     return "; ".join(parts)
@@ -394,19 +392,20 @@ def iegmn_layer_forward(
                          lig.node_mask, rec.node_mask, cfg.cross_msgs)
         cross_r = attend(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
                          rec.node_mask, lig.node_mask, cfg.cross_msgs)
-    elif cfg.use_fused_attention and cfg.cross_msgs and not packed:
+    elif cfg.use_fused_attention and cfg.cross_msgs:
         from ..ops.pallas.cross_attention import cross_attention_fused
 
+        # packed slots ride the same kernel: seg ids travel inside the mask
+        # operands as tags (ops/pallas/cross_attention.py module docstring)
         interp = jax.default_backend() == "cpu"
         fused = functools.partial(cross_attention_fused, interpret=interp)
         cross_l = fused(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
-                        lig.node_mask, rec.node_mask)
+                        lig.node_mask, rec.node_mask,
+                        q_seg=lig.seg_id, k_seg=rec.seg_id)
         cross_r = fused(qk(h_r), kk(h_l), linear(p["att_v"], h_l, cfg.dtype),
-                        rec.node_mask, lig.node_mask)
+                        rec.node_mask, lig.node_mask,
+                        q_seg=rec.seg_id, k_seg=lig.seg_id)
     else:
-        # packed slots restrict attention to same-complex pairs (seg mask);
-        # the fused Pallas kernel doesn't take a seg mask, so packed batches
-        # use the XLA path
         cross_l = cross_attention(qk(h_l), kk(h_r), linear(p["att_v"], h_r, cfg.dtype),
                                   lig.node_mask, rec.node_mask, cfg.cross_msgs,
                                   q_seg=lig.seg_id, k_seg=rec.seg_id)

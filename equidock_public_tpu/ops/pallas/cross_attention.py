@@ -13,6 +13,14 @@ query blocks), each with the safe consecutive-revisit accumulator pattern.
 Logit convention matches the reference exactly:
     a = mask * (q . k) - 1000 * (1 - mask),  softmax over M.
 Padded-but-unmasked rows produce the same values as the XLA path.
+
+Packed batches (round 4): the block-diagonal same-complex restriction of
+packed slots (`rigid_docking_model.py:68-78` mask semantics; XLA path
+`ops/attention.py` q_seg/k_seg) rides the SAME two mask operands — the
+wrapper encodes each row's segment as a tag `(seg_id + 1) * mask` and the
+kernels compute `mask = (q_tag > 0) & (q_tag == k_tag^T)`, which reduces to
+the plain outer-product mask when tags are 0/1. No extra kernel inputs, no
+(N, M) mask materialization in HBM.
 """
 
 from __future__ import annotations
@@ -50,7 +58,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, lse_ref,
     km = km_ref[0]                     # (BM, 1)
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)       # (BN, BM)
-    mask = qm * km.T
+    mask = ((qm > 0.0) & (qm == km.T)).astype(jnp.float32)
     a = mask * s - 1000.0 * (1.0 - mask)
     m_old = m_s[:]
     m_new = jnp.maximum(m_old, jnp.max(a, axis=-1, keepdims=True))
@@ -84,7 +92,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, lse_ref, do_ref,
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     qm, km = qm_ref[0], km_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    mask = qm * km.T
+    mask = ((qm > 0.0) & (qm == km.T)).astype(jnp.float32)
     a = mask * s - 1000.0 * (1.0 - mask)
     w = jnp.exp(a - lse_ref[0])                                    # (BN, BM)
     dw = jnp.dot(do_ref[0], v.T, preferred_element_type=jnp.float32)
@@ -105,7 +113,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, lse_ref, do_ref,
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     qm, km = qm_ref[0], km_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    mask = qm * km.T
+    mask = ((qm > 0.0) & (qm == km.T)).astype(jnp.float32)
     a = mask * s - 1000.0 * (1.0 - mask)
     w = jnp.exp(a - lse_ref[0])
     do = do_ref[0]
@@ -209,12 +217,22 @@ def _bwd_call(q, k, v, q_mask, k_mask, lse, do, delta, interpret):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def cross_attention_fused(q, k, v, q_mask, k_mask, interpret=False):
+def cross_attention_fused(q, k, v, q_mask, k_mask, interpret=False,
+                          q_seg=None, k_seg=None):
     """Fused masked cross-attention: drop-in for
     `ops.attention.cross_attention` (cross_msgs=True). Inputs are padded to
     block multiples internally; the semantics are identical because padded
-    queries/keys carry zero mask."""
+    queries/keys carry zero mask. With q_seg/k_seg (packed slots), attention
+    is additionally restricted to same-complex pairs via the tag encoding
+    (module docstring) — parity with the XLA seg path in tests/test_pallas."""
+    if q_seg is not None:
+        q_mask = (q_seg.astype(jnp.float32) + 1.0) * q_mask
+        k_mask = (k_seg.astype(jnp.float32) + 1.0) * k_mask
+    return _fused_core(q, k, v, q_mask, k_mask, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_core(q, k, v, q_mask, k_mask, interpret=False):
     o, _ = _fwd_wrapped(q, k, v, q_mask, k_mask, interpret)
     return o
 
@@ -247,4 +265,4 @@ def _vjp_bwd(interpret, res, do):
             jnp.zeros_like(qmp[:, :N]), jnp.zeros_like(kmp[:, :M]))
 
 
-cross_attention_fused.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_core.defvjp(_vjp_fwd, _vjp_bwd)

@@ -79,6 +79,85 @@ def test_fused_cross_attention_outlier_sizes(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_fused_cross_attention_seg_mask(rng):
+    """Packed-slot block-diagonal masking (seg tags riding the mask
+    operands) == the XLA q_seg/k_seg path, forward and gradients. This is
+    the r4 composition fix: -pack and -use_fused_attention together
+    (reference mask semantics: rigid_docking_model.py:68-78)."""
+    B, N, M, D = 2, 140, 170, 16
+    q = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    qm = np.zeros((B, N), np.float32)
+    km = np.zeros((B, M), np.float32)
+    qseg = np.zeros((B, N), np.int32)
+    kseg = np.zeros((B, M), np.int32)
+    # slot 0: segs 0 (60 q / 50 k) and 1 (40 q / 80 k); slot 1: one seg of 77/31
+    qm[0, :100] = 1
+    qseg[0, 60:100] = 1
+    km[0, :130] = 1
+    kseg[0, 50:130] = 1
+    qm[1, :77] = 1
+    km[1, :31] = 1
+    qseg[0, 100:] = 7      # garbage on invalid rows must not matter
+    kseg[1, 31:] = 5
+    qm, km = jnp.asarray(qm), jnp.asarray(km)
+    qseg, kseg = jnp.asarray(qseg), jnp.asarray(kseg)
+
+    ref = cross_attention(q, k, v, qm, km, q_seg=qseg, k_seg=kseg)
+    got = cross_attention_fused(q, k, v, qm, km, True, q_seg=qseg,
+                                k_seg=kseg)
+    w = np.asarray(qm)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * w, np.asarray(ref) * w,
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2 * qm[..., None])
+        return f
+
+    g_ref = jax.grad(
+        loss(lambda q, k, v: cross_attention(q, k, v, qm, km, q_seg=qseg,
+                                             k_seg=kseg)),
+        argnums=(0, 1, 2))(q, k, v)
+    g_fus = jax.grad(
+        loss(lambda q, k, v: cross_attention_fused(q, k, v, qm, km, True,
+                                                   q_seg=qseg, k_seg=kseg)),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_packed_model_with_fused_attention(rng):
+    """Full packed forward with the fused attention kernel == the packed XLA
+    path (seg-restricted attention inside a real collated packed batch)."""
+    import dataclasses
+
+    from equidock_public_tpu.models.iegmn import (docking_forward,
+                                                  init_docking_model)
+
+    from .test_packing import BUCKETS, POCKET_BUCKETS, _complexes
+    from equidock_public_tpu.graph import collate_packed
+    from .utils import tiny_config
+
+    cfg = tiny_config()
+    cfg_fused = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_fused_attention=True))
+    items = _complexes()
+    packed = collate_packed(*items, BUCKETS, POCKET_BUCKETS, max_per_slot=2,
+                            slot_count_buckets=(2, 4))
+    assert packed.n_segs > 1
+    params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
+    out_ref = jax.jit(lambda b: docking_forward(params, cfg.model, b))(packed)
+    out_fus = jax.jit(
+        lambda b: docking_forward(params, cfg_fused.model, b))(packed)
+    w = np.asarray(packed.lig.node_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out_fus["ligand_coords"]) * w,
+        np.asarray(out_ref["ligand_coords"]) * w, rtol=1e-3, atol=1e-3)
+
+
 def test_fused_edge_message_matches_xla_layer(rng):
     """Full IEGMN layer with the fused edge-message kernel == the XLA layer
     (same params; the kernel fuses gathers, RBF, both edge MLPs and the
