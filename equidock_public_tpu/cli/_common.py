@@ -133,6 +133,9 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                    help="stream DIPS shards through a bounded LRU instead of "
                         "materializing the corpus (constant host RSS)")
     p.add_argument("-stream_window", type=int, default=4)
+    p.add_argument("-pad_cache_gb", type=float, default=4.0,
+                   help="byte budget for the padded-field collation cache "
+                        "(LRU-evicting; see graph.py::PadCache)")
     p.add_argument("-debug", action="store_true")
     p.add_argument("-checkpoint_dir", default="./checkpts")
 
@@ -187,6 +190,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             pack=a.pack, pack_max_per_slot=a.pack_max_per_slot,
             device_resident=a.device_resident,
             stream_dips=a.stream_dips, stream_window=a.stream_window,
+            pad_cache_gb=a.pad_cache_gb,
             distill_dir=a.distill_dir, distill_alpha=a.distill_alpha),
         parallel=ParallelConfig(dp=a.dp, gp=a.gp,
                                 pallas_ring_halo=a.pallas_ring_halo),

@@ -161,6 +161,11 @@ class DataConfig:
     # epoch); schedule code is otherwise identical.
     stream_dips: bool = False
     stream_window: int = 4
+    # Byte budget for the padded-static-field collation cache (graph.py::
+    # PadCache, LRU-evicting). 4 GB holds every (graph, bucket) pair DB5
+    # meets with ~10x headroom; at DIPS scale the weak keying already frees
+    # entries with evicted shards, so this is a backstop, not a tuning knob.
+    pad_cache_gb: float = 4.0
     # Device-resident epochs (train/resident.py): upload the padded split to
     # HBM once; per epoch only a (S, bs) int32 schedule + PRNG key cross the
     # host->device boundary and each bucket group's steps run as ONE

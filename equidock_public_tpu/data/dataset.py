@@ -179,7 +179,8 @@ class DockingDataset:
             self.codes = self.codes[:n]
         self.swap = (split == "train" and cfg.data.swap_train) if swap is None else swap
         self.split = split
-        self._pad_cache = PadCache()
+        self._pad_cache = PadCache(
+            max_bytes=int(cfg.data.pad_cache_gb * (1 << 30)))
         if split == "train" and cfg.data.distill_dir:
             self._blend_teacher_poses(cfg.data.distill_dir,
                                       cfg.data.distill_alpha)
