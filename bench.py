@@ -81,6 +81,12 @@ def epoch_bench(mode: str):
             cfg, data=dataclasses.replace(
                 cfg.data, pack=True,
                 pack_max_per_slot=int(os.environ["BENCH_PACK"])))
+    # BENCH_FUSED_ATTN=1: the packed+fused A/B (r4 — packed batches now ride
+    # the fused cross-attention kernel via seg tags)
+    if os.environ.get("BENCH_FUSED_ATTN", "0") not in ("", "0"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           use_fused_attention=True))
     ds.cfg = cfg
 
     params = init_docking_model(jax.random.PRNGKey(0), cfg.model)
