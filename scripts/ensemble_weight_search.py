@@ -81,13 +81,15 @@ def collect_rigids(members, val_dirs, cache_path, log=print):
     return data
 
 
-def score_weights(data, w, val_dirs):
-    meds = []
-    for vd in val_dirs:
-        cr, ir = [], []
-        for (d, stem), rec in data.items():
-            if d != vd:
-                continue
+def per_complex_metrics(data, w, val_dirs):
+    """-> (C, D) crmsd and irmsd arrays (complex x draw), complexes ordered
+    by stem so rows align across draws."""
+    stems = sorted({s for (_, s) in data})
+    cr = np.zeros((len(stems), len(val_dirs)))
+    ir = np.zeros((len(stems), len(val_dirs)))
+    for di, vd in enumerate(val_dirs):
+        for si, stem in enumerate(stems):
+            rec = data[(vd, stem)]
             R, t = ensemble_rigid(rec["Rs"], rec["ts"],
                                   rec["x"].mean(axis=0), w)
             pred = (R @ rec["x"].T).T + t
@@ -96,12 +98,23 @@ def score_weights(data, w, val_dirs):
             ai, aj = rec["iface"]
             _, _, i = complex_rmsd(pred[ai], rec["gt_rec"][aj],
                                    rec["gt_lig"][ai], rec["gt_rec"][aj])
-            cr.append(c)
-            ir.append(i)
-        meds.append((float(np.median(cr)), float(np.median(ir))))
-    cmed = float(np.mean([c for c, _ in meds]))
-    imed = float(np.mean([i for _, i in meds]))
-    return cmed, imed, max(cmed - BAR_C, imed - BAR_I)
+            cr[si, di] = c
+            ir[si, di] = i
+    return cr, ir
+
+
+def score_weights(data, w, val_dirs, boot_idx=None):
+    """Point medians (mean over draws of within-draw medians) + bootstrap
+    P(both bars) over complex resamples."""
+    cr, ir = per_complex_metrics(data, w, val_dirs)
+    cmed = float(np.mean(np.median(cr, axis=0)))
+    imed = float(np.mean(np.median(ir, axis=0)))
+    p_bar = None
+    if boot_idx is not None:
+        cm = np.median(cr[boot_idx], axis=1).mean(axis=1)   # (B,)
+        im = np.median(ir[boot_idx], axis=1).mean(axis=1)
+        p_bar = float(np.mean((cm <= BAR_C) & (im <= BAR_I)))
+    return cmed, imed, max(cmed - BAR_C, imed - BAR_I), p_bar
 
 
 def main():
@@ -112,6 +125,8 @@ def main():
                    help="simplex resolution (weights in k/step)")
     p.add_argument("-cache", default="results/ens_rigids_val.npz")
     p.add_argument("-out", default="results/ens_weight_search.json")
+    p.add_argument("-bootstrap", type=int, default=400,
+                   help="complex-resample count for P(both bars)")
     a = p.parse_args()
     members = [m for m in a.members.split(",") if m]
     val_dirs = [v for v in a.val_dirs.split(",") if v]
@@ -121,18 +136,24 @@ def main():
     rows = []
     grid = [k for k in product(range(a.step + 1), repeat=n)
             if sum(k) == a.step]
+    n_complex = len({s for (_, s) in data})
+    brng = np.random.default_rng(12345)
+    boot_idx = brng.integers(0, n_complex, (a.bootstrap, n_complex))
     for k in grid:
         w = np.asarray(k, np.float64) / a.step
         if w.sum() == 0:
             continue
-        c, i, bar = score_weights(data, w, val_dirs)
+        c, i, bar, p = score_weights(data, w, val_dirs, boot_idx)
         rows.append({"w": list(w), "val_crmsd_med": round(c, 4),
-                     "val_irmsd_med": round(i, 4), "val_bar": round(bar, 4)})
-    rows.sort(key=lambda r: r["val_bar"])
+                     "val_irmsd_med": round(i, 4), "val_bar": round(bar, 4),
+                     "p_both_bars": round(p, 4)})
+    # primary selection: highest bootstrap P(both bars); tie-break point bar
+    rows.sort(key=lambda r: (-r["p_both_bars"], r["val_bar"]))
     for r in rows[:12]:
         print(json.dumps(r))
     with open(a.out, "w") as f:
         json.dump({"members": members, "val_dirs": val_dirs,
+                   "n_complex": n_complex, "bootstrap": a.bootstrap,
                    "top": rows[:50]}, f, indent=1)
     print(f"wrote {a.out}; best: {json.dumps(rows[0])}")
 
