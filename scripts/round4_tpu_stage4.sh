@@ -130,51 +130,6 @@ _train r4_bigval_s53 2700 $L3 $HYP -random_seed 53 $BIGVAL
 log "M2: r4_bigval_l2_s55 — 2-layer member (the IRMSD puller shape)"
 _train r4_bigval_l2_s55 2700 $L2 $HYP -random_seed 55 $BIGVAL
 
-log "M3: r4_bigval_big_s56 — 64-dim member (the CRMSD puller shape)"
-_train r4_bigval_big_s56 2700 $BIG $HYP -random_seed 56 $BIGVAL
-
-# ---- CROP corpus-size study --------------------------------------------------
-SMALL="$L3"
-CROP_CACHE=./cache/dips_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/cv_0
-if [ -f "$CROP_CACHE/train_shard0000.npz" ]; then
-  TRIALS=$((TRIALS+1))
-  log "CROP: pretrain small on the 16K interface-crop corpus (resident)"
-  probe_tpu && timeout 4800 python -m equidock_public_tpu.cli.train \
-    -data dips $SMALL \
-    -lr 2e-4 -w_decay 1e-4 -patience 40 -bs 8 \
-    -node_buckets 128,192,256,512 -pocket_buckets 256,512,1024 \
-    -random_seed 60 -device_resident -val_repeats 1 \
-    -max_seconds 3900 \
-    -cache_dir ./cache -checkpoint_dir ./checkpts_r4/r4_crop_pre \
-    -compile_cache ./jax_cache > $Q/r4_crop_pre.log 2>&1
-  RC=$?
-  log "crop pretrain exit=$RC"
-  PRE=$(best_ckpt r4_crop_pre dips)
-  if [ -n "$PRE" ]; then
-    log "CROP: fine-tune on DB5 from the crop-pretrained trunk"
-    probe_tpu && timeout 3300 python -m equidock_public_tpu.cli.train -toy -data db5 \
-      -continue_train_model "$PRE" \
-      $HYP -random_seed 61 -device_resident -val_repeats 6 -select_metric bar \
-      -max_seconds 2400 \
-      -cache_dir ./cache -checkpoint_dir ./checkpts_r4/r4_crop_ft \
-      -compile_cache ./jax_cache > $Q/r4_crop_ft.log 2>&1
-    RC=$?
-    log "crop finetune exit=$RC"
-    FT=$(best_ckpt r4_crop_ft db5)
-    if [ -n "$FT" ]; then
-      score_db5 r4_crop_ft "$FT"
-      score_dips crop_ft_zeroshot "$FT"
-    else
-      log "crop finetune: no checkpoint"; FAILURES=$((FAILURES+1))
-    fi
-    score_dips crop_pre_zeroshot "$PRE"
-  else
-    log "crop pretrain: no checkpoint"; FAILURES=$((FAILURES+1))
-  fi
-else
-  log "CROP: cache missing — skipped"
-fi
-
 # ---- bench block -------------------------------------------------------------
 log "BENCH: edge_sol ceilings"
 probe_tpu && timeout 3000 env BENCH_MODE=edge_sol python bench_kernels.py \
@@ -200,8 +155,52 @@ log "BENCH: warm default driver bench"
 probe_tpu && timeout 3600 python bench.py > $Q/default_bench.json 2> $Q/default_bench.err
 log "default bench exit=$? $(cat $Q/default_bench.json 2>/dev/null | tr -d '\n')"
 
-log "C: r4_barsel_s40 — rerun of the lost stage-8 trial"
-_train r4_barsel_s40 2700 $L3 $HYP -random_seed 40
+log "M3: r4_bigval_big_s56 — 64-dim member (the CRMSD puller shape)"
+_train r4_bigval_big_s56 2700 $BIG $HYP -random_seed 56 $BIGVAL
+
+# ---- CROP corpus-size study --------------------------------------------------
+SMALL="$L3"
+CROP_CACHE=./cache/dips_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/cv_0
+if [ -f "$CROP_CACHE/train_shard0000.npz" ]; then
+  TRIALS=$((TRIALS+1))
+  log "CROP: pretrain small on the 16K interface-crop corpus (resident)"
+  probe_tpu && timeout 3900 python -m equidock_public_tpu.cli.train \
+    -data dips $SMALL \
+    -lr 2e-4 -w_decay 1e-4 -patience 40 -bs 8 \
+    -node_buckets 128,192,256,512 -pocket_buckets 256,512,1024 \
+    -random_seed 60 -device_resident -val_repeats 1 \
+    -max_seconds 3000 \
+    -cache_dir ./cache -checkpoint_dir ./checkpts_r4/r4_crop_pre \
+    -compile_cache ./jax_cache > $Q/r4_crop_pre.log 2>&1
+  RC=$?
+  log "crop pretrain exit=$RC"
+  PRE=$(best_ckpt r4_crop_pre dips)
+  if [ -n "$PRE" ]; then
+    log "CROP: fine-tune on DB5 from the crop-pretrained trunk"
+    probe_tpu && timeout 2700 python -m equidock_public_tpu.cli.train -toy -data db5 \
+      -continue_train_model "$PRE" \
+      $HYP -random_seed 61 -device_resident -val_repeats 6 -select_metric bar \
+      -max_seconds 1800 \
+      -cache_dir ./cache -checkpoint_dir ./checkpts_r4/r4_crop_ft \
+      -compile_cache ./jax_cache > $Q/r4_crop_ft.log 2>&1
+    RC=$?
+    log "crop finetune exit=$RC"
+    score_dips crop_pre_zeroshot "$PRE" &
+    PREPID=$!
+    FT=$(best_ckpt r4_crop_ft db5)
+    if [ -n "$FT" ]; then
+      score_db5 r4_crop_ft "$FT"
+      score_dips crop_ft_zeroshot "$FT"
+    else
+      log "crop finetune: no checkpoint"; FAILURES=$((FAILURES+1))
+    fi
+    wait $PREPID
+  else
+    log "crop pretrain: no checkpoint"; FAILURES=$((FAILURES+1))
+  fi
+else
+  log "CROP: cache missing — skipped"
+fi
 
 log "stage4 done: $FAILURES failures / $TRIALS trials"
 [ "$FAILURES" -lt "$TRIALS" ] || exit 1
