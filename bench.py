@@ -15,6 +15,7 @@ loss loop + per-complex SVD + GPU->CPU->GPU exact-EMD round trip per complex,
 north-star target is >=5x that (=125 pairs/s/chip).
 """
 
+import functools
 import json
 import os
 import time
@@ -374,8 +375,34 @@ def main():
         state, m = train_step(state, batch, sub, cfg)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
+    loop_pairs_per_s = B * steps / dt
 
-    pairs_per_s = B * steps / dt
+    # Scan-dispatched variant (the production regime since r4: resident
+    # epochs run S steps per dispatch, train/resident.py), which amortizes
+    # the ~1 ms/step host dispatch the loop above pays through the tunnel.
+    # BENCH_SCAN=0 disables.
+    scan_pairs_per_s = None
+    if os.environ.get("BENCH_SCAN", "1") not in ("", "0"):
+        from equidock_public_tpu.train.step import step_body
+
+        @functools.partial(jax.jit, static_argnames=("cfg_",),
+                           donate_argnums=(0,))
+        def run_scan(state_, keys, cfg_):
+            def body(st, k):
+                st, m = step_body(st, batch, k, cfg_)
+                return st, m["loss"]
+            return jax.lax.scan(body, state_, keys)
+
+        keys = jax.random.split(jax.random.PRNGKey(2), steps)
+        state, losses = run_scan(state, keys, cfg)          # compile+warm
+        jax.block_until_ready(losses)
+        keys = jax.random.split(jax.random.PRNGKey(3), steps)
+        t0 = time.perf_counter()
+        state, losses = run_scan(state, keys, cfg)
+        jax.block_until_ready(losses)
+        scan_pairs_per_s = B * steps / (time.perf_counter() - t0)
+
+    pairs_per_s = max(loop_pairs_per_s, scan_pairs_per_s or 0.0)
     baseline = 25.0  # estimated reference A100 pairs/s (see module docstring)
     # VERDICT r3 weak-item 4: the synthetic fixed-shape number alone can
     # drift from real training cost — publish BOTH in the one driver-captured
@@ -392,6 +419,9 @@ def main():
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / baseline, 3),
+        "loop_pairs_per_s": round(loop_pairs_per_s, 2),
+        **({"scan_pairs_per_s": round(scan_pairs_per_s, 2)}
+           if scan_pairs_per_s else {}),
         **extra,
     }))
 
