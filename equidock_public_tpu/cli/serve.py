@@ -58,6 +58,12 @@ def main():
                    help="comma-separated node bucket sizes to pre-jit at "
                         "startup (all ligand x receptor pairs), so the first "
                         "request per shape doesn't pay compile latency")
+    p.add_argument("-max_batch", type=int, default=1,
+                   help=">1 enables concurrent-request batching: pending "
+                        "requests share one padded forward")
+    p.add_argument("-batch_window_ms", type=float, default=5.0,
+                   help="how long to wait for co-batchable requests after "
+                        "the first arrives")
     a = p.parse_args()
     cfg = config_from_args(a)
     if a.checkpoint:
@@ -96,6 +102,10 @@ def main():
 
     print(json.dumps({"ready": True}), flush=True)
 
+    if a.max_batch > 1:
+        return serve_batched(params, cfg, forward_fn, a.max_batch,
+                             a.batch_window_ms)
+
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -114,6 +124,105 @@ def main():
         except Exception as e:  # keep serving
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}),
                   flush=True)
+
+
+def serve_batched(params, cfg, forward_fn, max_batch: int, window_ms: float):
+    """Concurrent-request batching (round 4, r3 weak-item 6): a reader thread
+    drains stdin while the device works; up to `max_batch` pending requests
+    ride ONE padded forward (collate with a fixed batch dim, so shapes — and
+    compiles — are stable). Responses keep arrival order."""
+    import queue
+    import threading
+
+    from ..data.featurize import (alpha_carbon_array, build_protein_graph,
+                                  filter_residues)
+    from ..data.pdb import group_residues, read_pdb, write_pdb
+    from ..graph import collate
+
+    q: "queue.Queue" = queue.Queue()
+
+    def reader():
+        for line in sys.stdin:
+            line = line.strip()
+            if line:
+                q.put(line)
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        lines = [item]
+        deadline = time.time() + window_ms / 1e3
+        while len(lines) < max_batch:
+            try:
+                nxt = q.get(timeout=max(0.0, deadline - time.time()))
+            except queue.Empty:
+                break
+            if nxt is None:
+                q.put(None)     # re-post EOF for the outer loop
+                break
+            lines.append(nxt)
+
+        t0 = time.time()
+        entries = []
+        for line in lines:
+            try:
+                req = json.loads(line)
+                lig_table = read_pdb(req["ligand"])
+                rec_table = read_pdb(req["receptor"])
+                lig_res = filter_residues(group_residues(lig_table))
+                rec_res = filter_residues(group_residues(rec_table))
+                gc = cfg.graph
+                entries.append(dict(
+                    req=req, table=lig_table, rec_atoms=rec_table.coords,
+                    lig=build_protein_graph(lig_res, gc.graph_cutoff,
+                                            gc.graph_max_neighbor),
+                    rec=build_protein_graph(rec_res, gc.graph_cutoff,
+                                            gc.graph_max_neighbor),
+                    n_lig=len(lig_res), n_rec=len(rec_res),
+                    gt=None, err=None))
+            except Exception as e:
+                entries.append(dict(req=None, err=f"{type(e).__name__}: {e}"))
+
+        ok = [e for e in entries if e["err"] is None]
+        if ok:
+            ligs = [e["lig"] for e in ok]
+            recs = [e["rec"] for e in ok]
+            batch = collate(
+                ligs, recs, [g.x for g in ligs],
+                [g.x for g in ligs],
+                [np.zeros((4, 3), np.float32)] * len(ok),
+                [np.zeros((4, 3), np.float32)] * len(ok),
+                cfg.data.node_buckets, cfg.data.pocket_buckets,
+                batch_size=max_batch)
+            out = forward_fn(params, batch)
+            R = np.asarray(out["R"])
+            t = np.asarray(out["t"])
+            for i, e in enumerate(ok):
+                moved = (R[i] @ e["table"].coords.T).T + t[i]
+                if e["req"].get("remove_clashes", False):
+                    from ..eval.inference import remove_clashes_descent
+
+                    moved = remove_clashes_descent(
+                        moved.astype(np.float32),
+                        e["rec_atoms"].astype(np.float32))
+                write_pdb(e["req"]["output"], e["table"],
+                          moved.astype(np.float32))
+        dt = time.time() - t0
+        for e in entries:     # responses in arrival order
+            if e["err"] is not None:
+                print(json.dumps({"ok": False, "error": e["err"]}),
+                      flush=True)
+            else:
+                print(json.dumps({"output": e["req"]["output"],
+                                  "seconds": round(dt / max(len(ok), 1), 4),
+                                  "num_lig_res": e["n_lig"],
+                                  "num_rec_res": e["n_rec"],
+                                  "batched": len(ok),
+                                  "ok": True}), flush=True)
 
 
 if __name__ == "__main__":
