@@ -75,8 +75,12 @@ def main():
             cpu = cpu_seconds(pid)
             if cpu is None:
                 continue
-            prev_t, prev_cpu = cpu_hist.get(pid, (time.time(), cpu))
-            cpu_hist[pid] = (prev_t, prev_cpu)
+            if pid not in cpu_hist:
+                # first sight: just record — never kill before a real
+                # observation window exists
+                cpu_hist[pid] = (time.time(), cpu)
+                continue
+            prev_t, prev_cpu = cpu_hist[pid]
             if age < STALL_S:
                 cpu_hist[pid] = (time.time(), cpu)
                 continue
