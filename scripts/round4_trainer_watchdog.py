@@ -72,6 +72,14 @@ def main():
             if not os.path.exists(logf):
                 continue
             age = time.time() - os.path.getmtime(logf)
+            # startup wedge: backend init hangs BEFORE the banner prints
+            # (observed 09:43, 10:01) — reap faster than a mid-run stall
+            try:
+                with open(logf, errors="replace") as f:
+                    started = "Model name" in f.read()
+            except OSError:
+                started = True
+            stall = STALL_S if started else 360
             cpu = cpu_seconds(pid)
             if cpu is None:
                 continue
@@ -81,7 +89,7 @@ def main():
                 cpu_hist[pid] = (time.time(), cpu)
                 continue
             prev_t, prev_cpu = cpu_hist[pid]
-            if age < STALL_S:
+            if age < stall:
                 cpu_hist[pid] = (time.time(), cpu)
                 continue
             # log stale >= STALL_S: wedge unless it's genuinely computing
