@@ -11,6 +11,7 @@ Protocol: one JSON object per stdin line
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -23,7 +24,7 @@ from ..train.checkpoint import load_checkpoint
 from ._common import add_config_args, config_from_args
 
 
-def _warmup_batch(cfg, n_lig: int, n_rec: int):
+def _warmup_batch(cfg, n_lig: int, n_rec: int, batch_size: int = 1):
     """Synthetic one-complex batch at exactly (n_lig, n_rec) padded nodes —
     the same shapes `dock_one` produces for proteins in those buckets."""
     from ..data.featurize import ProteinGraph
@@ -42,12 +43,15 @@ def _warmup_batch(cfg, n_lig: int, n_rec: int):
 
     lg, rg = graph(n_lig), graph(n_rec)
     # graphs are sized exactly to their buckets, so bucket_for resolves each
-    # side to its own size (buckets must be ascending)
+    # side to its own size (buckets must be ascending). batch_size matches
+    # the serving regime: 1 for per-request mode, max_batch for batched mode
+    # (the padded batch dim is part of the compiled shape).
     buckets = tuple(sorted({n_lig, n_rec}))
     return collate([lg], [rg], [lg.x], [lg.x],
                    [np.zeros((4, 3), np.float32)],
                    [np.zeros((4, 3), np.float32)],
-                   buckets, cfg.data.pocket_buckets)
+                   buckets, cfg.data.pocket_buckets,
+                   batch_size=batch_size)
 
 
 def main():
@@ -94,7 +98,7 @@ def main():
         n_warmed = 0
         for bl in sizes:
             for br in sizes:
-                batch = _warmup_batch(cfg, bl, br)
+                batch = _warmup_batch(cfg, bl, br, batch_size=a.max_batch)
                 jax.block_until_ready(forward_fn(params, batch))
                 n_warmed += 1
         print(json.dumps({"warmed": n_warmed,
@@ -189,28 +193,40 @@ def serve_batched(params, cfg, forward_fn, max_batch: int, window_ms: float):
 
         ok = [e for e in entries if e["err"] is None]
         if ok:
-            ligs = [e["lig"] for e in ok]
-            recs = [e["rec"] for e in ok]
-            batch = collate(
-                ligs, recs, [g.x for g in ligs],
-                [g.x for g in ligs],
-                [np.zeros((4, 3), np.float32)] * len(ok),
-                [np.zeros((4, 3), np.float32)] * len(ok),
-                cfg.data.node_buckets, cfg.data.pocket_buckets,
-                batch_size=max_batch)
-            out = forward_fn(params, batch)
-            R = np.asarray(out["R"])
-            t = np.asarray(out["t"])
+            try:
+                ligs = [e["lig"] for e in ok]
+                recs = [e["rec"] for e in ok]
+                batch = collate(
+                    ligs, recs, [g.x for g in ligs],
+                    [g.x for g in ligs],
+                    [np.zeros((4, 3), np.float32)] * len(ok),
+                    [np.zeros((4, 3), np.float32)] * len(ok),
+                    cfg.data.node_buckets, cfg.data.pocket_buckets,
+                    batch_size=max_batch)
+                out = forward_fn(params, batch)
+                R = np.asarray(out["R"])
+                t = np.asarray(out["t"])
+            except Exception as e_:  # whole batch failed; keep serving
+                for e in ok:
+                    e["err"] = f"{type(e_).__name__}: {e_}"
+                ok = []
             for i, e in enumerate(ok):
-                moved = (R[i] @ e["table"].coords.T).T + t[i]
-                if e["req"].get("remove_clashes", False):
-                    from ..eval.inference import remove_clashes_descent
+                try:
+                    moved = (R[i] @ e["table"].coords.T).T + t[i]
+                    if e["req"].get("remove_clashes", False):
+                        from ..eval.inference import remove_clashes_descent
 
-                    moved = remove_clashes_descent(
-                        moved.astype(np.float32),
-                        e["rec_atoms"].astype(np.float32))
-                write_pdb(e["req"]["output"], e["table"],
-                          moved.astype(np.float32))
+                        moved = remove_clashes_descent(
+                            moved.astype(np.float32),
+                            e["rec_atoms"].astype(np.float32))
+                    out_path = e["req"]["output"]
+                    d = os.path.dirname(out_path)
+                    if d:
+                        os.makedirs(d, exist_ok=True)
+                    write_pdb(out_path, e["table"],
+                              moved.astype(np.float32))
+                except Exception as e_:  # per-request failure
+                    e["err"] = f"{type(e_).__name__}: {e_}"
         dt = time.time() - t0
         for e in entries:     # responses in arrival order
             if e["err"] is not None:

@@ -214,13 +214,20 @@ def assemble_batch(store: ResidentGroup, idx: jnp.ndarray, valid: jnp.ndarray,
 # Jitted epoch scans
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.jit, static_argnames=("cfg", "do_swap"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "do_swap", "emit_coords"),
                    donate_argnums=(0,))
 def train_epoch_scan(state: TrainState, store: ResidentGroup,
                      idx: jnp.ndarray, valid: jnp.ndarray, key,
-                     lr_scale: jnp.ndarray, cfg: Config, do_swap: bool):
-    """Run all S steps of one group's epoch slice in a single dispatch.
-    Returns (state, stacked metrics incl. per-step coords + swap flags)."""
+                     lr_scale: jnp.ndarray, cfg: Config, do_swap: bool,
+                     emit_coords: bool = True):
+    """Run S steps of one group's epoch slice in a single dispatch.
+
+    `emit_coords=False` drops the (S, bs, N, 3) per-step coordinate stack
+    from the scan outputs — the epoch runner permutes each group's schedule
+    so the ~10% RMSD-metered steps form a PREFIX and only that prefix scan
+    pays the coordinate HBM (at DIPS scale the full stack would be hundreds
+    of MB per dispatch for rows that were immediately discarded)."""
 
     def body(carry, inp):
         st, k = carry
@@ -231,9 +238,10 @@ def train_epoch_scan(state: TrainState, store: ResidentGroup,
         st, m = step_body(st, batch, k_step, cfg, lr_scale)
         out = {s: m[s] for s in _SCALARS}
         out["clipped"] = m["clipped"]
-        out["coords"] = m.get("ligand_coords",
-                              jnp.zeros_like(batch.gt_lig))
-        out["swap"] = flag
+        if emit_coords:
+            out["coords"] = m.get("ligand_coords",
+                                  jnp.zeros_like(batch.gt_lig))
+            out["swap"] = flag
         return (st, k), out
 
     (state, _), outs = jax.lax.scan(body, (state, key), (idx, valid))
@@ -322,30 +330,40 @@ def run_train_epoch_resident(state: TrainState, rs: ResidentSplit,
     for b in buckets:
         meta = rs.metas[b]
         idx, valid = _schedule(len(meta.n_lig), rs.bs, rng)
-        key, sub = jax.random.split(key)
-        swap = cfg.data.swap_train if do_swap is None else do_swap
-        state, outs = train_epoch_scan(state, rs.groups[b],
-                                       jnp.asarray(idx), jnp.asarray(valid),
-                                       sub, scale, cfg, swap)
         S = idx.shape[0]
         num_batches += S
-        host_scalars = {k: np.asarray(outs[k]) for k in
-                        _SCALARS + ("clipped",)}
-        for k in _SCALARS:
-            sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
-        num_clips += int(host_scalars["clipped"].sum())
-        # sampled train-RMSD metering (train.py:136): pull only the sampled
-        # steps' coords to host
-        sampled = [s for s in range(S)
-                   if meter_rng.uniform() < cfg.train.train_rmsd_fraction]
-        if first and 0 not in sampled:
-            sampled = [0] + sampled
+        swap = cfg.data.swap_train if do_swap is None else do_swap
+        # sampled train-RMSD metering (train.py:136): permute the schedule
+        # so sampled steps form a prefix; only the prefix scan emits coords.
+        # The sampled COUNT is a fixed function of S (not per-step Bernoulli)
+        # so both scan lengths are epoch-invariant — otherwise every epoch
+        # would draw a new k_c and pay a fresh XLA compile per length.
+        k_c = max(1, round(S * cfg.train.train_rmsd_fraction))
         first = False
-        if sampled:
-            coords = np.asarray(outs["coords"][np.asarray(sampled)])
-            swaps = np.asarray(outs["swap"][np.asarray(sampled)])
-            for si, s in enumerate(sampled):
-                _meter_rows(meter, meta, idx[s], valid[s], coords[si],
+        perm = meter_rng.permutation(S).astype(np.int64)
+        idx = idx[perm]
+        valid = valid[perm]
+        outs_list = []
+        for (lo, hi, emit) in ((0, k_c, True), (k_c, S, False)):
+            if lo == hi:
+                continue
+            key, sub = jax.random.split(key)
+            state, outs = train_epoch_scan(
+                state, rs.groups[b], jnp.asarray(idx[lo:hi]),
+                jnp.asarray(valid[lo:hi]), sub, scale, cfg, swap,
+                emit_coords=emit)
+            outs_list.append(outs)
+        for outs in outs_list:
+            host_scalars = {k: np.asarray(outs[k]) for k in
+                            _SCALARS + ("clipped",)}
+            for k in _SCALARS:
+                sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
+            num_clips += int(host_scalars["clipped"].sum())
+        if k_c:
+            coords = np.asarray(outs_list[0]["coords"])
+            swaps = np.asarray(outs_list[0]["swap"])
+            for si in range(k_c):
+                _meter_rows(meter, meta, idx[si], valid[si], coords[si],
                             swaps[si], meter_interface=False)
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")

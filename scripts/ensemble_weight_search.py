@@ -38,9 +38,13 @@ BAR_C, BAR_I = 14.2, 12.1
 def collect_rigids(members, val_dirs, cache_path, log=print):
     """-> dict with per (draw, complex): member Rs/ts, input lig CA + centroid,
     gt lig/rec CA, gt interface index pairs."""
+    key = json.dumps({"members": list(members), "val_dirs": list(val_dirs)})
     if os.path.exists(cache_path):
-        log(f"rigid cache hit: {cache_path}")
-        return np.load(cache_path, allow_pickle=True)["data"].item()
+        z = np.load(cache_path, allow_pickle=True)
+        if "key" in z and str(z["key"]) == key:
+            log(f"rigid cache hit: {cache_path}")
+            return z["data"].item()
+        log(f"rigid cache STALE (different members/val_dirs) — rebuilding")
     import dataclasses
 
     base_cfg = Config.db5_paper_model()
@@ -77,7 +81,8 @@ def collect_rigids(members, val_dirs, cache_path, log=print):
                 x=lig_g.x, gt_lig=gt_lig, gt_rec=rec_ca,
                 iface=(ai.astype(np.int32), aj.astype(np.int32)))
         log(f"collected {vd}")
-    np.savez_compressed(cache_path, data=np.array(data, dtype=object))
+    np.savez_compressed(cache_path, data=np.array(data, dtype=object),
+                        key=key)
     return data
 
 
