@@ -29,9 +29,12 @@ for i in $(seq 1 480); do
                   checkpts_r4/r4_bigval_big_s56/*/db5_model_best 2>/dev/null | paste -sd,)
   N=$(echo "$MEMBERS" | tr ',' '\n' | grep -c db5_model_best || true)
   [ "$N" -ge 4 ] && break
-  # after 3 members exist, give the 4th 35 more minutes then proceed
+  # after 3 members exist, give the 4th 100 more minutes then proceed
+  # (the bench block runs on the TPU between member M2 and member M3, so
+  # the 4th checkpoint lands ~70-90 min after the 3rd; timing-only change,
+  # made before any member scores were seen by this protocol)
   if [ "$N" -ge 3 ]; then
-    WAITED3=$((${WAITED3:-0}+1)); [ "$WAITED3" -ge 70 ] && break
+    WAITED3=$((${WAITED3:-0}+1)); [ "$WAITED3" -ge 200 ] && break
   fi
   sleep 30
 done
