@@ -69,14 +69,31 @@ def edge_sol():
     mm = jnp.asarray(rng.standard_normal((4096, 4096)).astype(np.float32))
     t = chain_time(lambda a: (a @ mm) * 1e-3, mm, 20)
     mxu_peak = 2 * 4096 ** 3 / t
-    big = jnp.ones((64 * 1024 * 1024,), jnp.float32)
-    t = chain_time(lambda v: v * 1.0000001 + 1e-9, big, 20)
-    vpu_peak = 2 * big.size / t
+    # VPU: a 128-deep dependent FMA chain on an 8 MB array — arithmetic
+    # intensity 64 flop/byte, far above the HBM roof, so the fused kernel is
+    # VPU-compute-bound (a single FMA over a huge array would measure HBM
+    # bandwidth instead — the first version of this calibration did exactly
+    # that and produced >100% "VPU" rows)
+    # the chain must be non-affine or XLA folds it to one op (v*a+b chains
+    # collapse algebraically — both earlier calibrations hit that)
+    K_FMA = 128
+    small = jnp.full((2 * 1024 * 1024,), 0.1, jnp.float32)
+
+    def fma_chain(v):
+        for _ in range(K_FMA):
+            v = v * v - 0.5 * v      # bounded, non-foldable; 3 flops/elt
+        return v
+
+    t = chain_time(fma_chain, small, 20)
+    vpu_peak = 3 * K_FMA * small.size / t
     half = jnp.ones((64 * 1024 * 1024,), jnp.float32)
     t = chain_time(lambda v: v + 1.0, half, 20)   # read+write = 512 MB
     hbm_peak = 2 * 4 * half.size / t
+    import sys
+
     print(f"measured ceilings: MXU {mxu_peak/1e12:.1f} TF/s f32, "
-          f"VPU {vpu_peak/1e12:.2f} TF/s, HBM {hbm_peak/1e9:.0f} GB/s")
+          f"VPU {vpu_peak/1e12:.2f} TF/s (dependent-chain, conservative), "
+          f"HBM {hbm_peak/1e9:.0f} GB/s", file=sys.stderr)
 
     B, K, D, E = 10, 10, 64, 27
     rows = []
