@@ -247,18 +247,37 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     # transport's byte-proportional host-RSS leak AND the host-collate
     # bottleneck (VERDICT r3 items 2-3).
     resident = None
+    resident_mesh = None
     if cfg.data.device_resident:
-        assert cfg.parallel.dp * cfg.parallel.gp == 1, \
-            "-device_resident is a single-chip path; drop -dp/-gp"
+        assert cfg.parallel.gp == 1, \
+            "-device_resident shards pairs (dp); node sharding (gp) needs " \
+            "the halo path — drop -gp or -device_resident"
         assert not cfg.data.pack, \
             "-device_resident already removes the padding-collate cost; " \
             "it does not compose with -pack"
         from .resident import (build_resident_split,
+                               build_resident_split_dp,
                                run_eval_epoch_resident,
-                               run_train_epoch_resident)
+                               run_train_epoch_resident,
+                               run_train_epoch_resident_dp)
 
+        if cfg.parallel.dp > 1:
+            # dp-resident (VERDICT r4 item 3): train store pair-sharded over
+            # 'data', shard_map'ed epoch scans with explicit grad psum. Val/
+            # test stores stay on the default device (selection metering is
+            # a tiny fraction of epoch time).
+            from ..parallel.mesh import make_mesh
+
+            resident_mesh = make_mesh(cfg.parallel.dp, 1,
+                                      devices=jax.devices()[: cfg.parallel.dp])
+            train_store = build_resident_split_dp(train_ds, cfg,
+                                                  resident_mesh)
+            log(f"dp-resident epochs: pair axis sharded over "
+                f"dp={cfg.parallel.dp}")
+        else:
+            train_store = build_resident_split(train_ds, cfg)
         resident = {
-            "train": build_resident_split(train_ds, cfg),
+            "train": train_store,
             "val": build_resident_split(val_ds, cfg),
             "test": build_resident_split(test_ds, cfg),
         }
@@ -272,7 +291,7 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
 
     step_fn = None
     par = cfg.parallel
-    if par.dp * par.gp > 1:
+    if par.dp * par.gp > 1 and resident is None:
         import dataclasses
 
         from ..parallel.mesh import make_mesh, replicate, shard_batch
@@ -325,9 +344,14 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         t0 = time.time()
         lr_scale = epoch_lr_factor(cfg.train, epoch, plateau)
         if resident is not None:
-            state, tr = run_train_epoch_resident(
-                state, resident["train"], cfg, rng, key, epoch, log,
-                lr_scale=lr_scale, do_swap=train_ds.swap)
+            if resident_mesh is not None:
+                state, tr = run_train_epoch_resident_dp(
+                    state, resident["train"], cfg, resident_mesh, rng, key,
+                    epoch, log, lr_scale=lr_scale, do_swap=train_ds.swap)
+            else:
+                state, tr = run_train_epoch_resident(
+                    state, resident["train"], cfg, rng, key, epoch, log,
+                    lr_scale=lr_scale, do_swap=train_ds.swap)
             key = jax.random.fold_in(key, epoch + 1)
             va = run_eval_epoch_resident(
                 state.params, resident["val"], cfg,

@@ -76,56 +76,65 @@ def _side_to_fields(g, n_max: int) -> dict:
     return pad_protein(g, n_max)
 
 
-def build_resident_split(ds, cfg: Config) -> ResidentSplit:
-    """Group a materialized DockingDataset by symmetric node bucket, pad,
-    stack, and push each group to the default device once."""
+def _group_by_bucket(ds, cfg: Config) -> Dict[int, List[int]]:
     assert ds.samples is not None, "device_resident requires a materialized " \
         "dataset (not stream_dips)"
     by_bucket: Dict[int, List[int]] = {}
     for i in range(len(ds.codes)):
         b = bucket_for(ds.pair_max_nodes(i), cfg.data.node_buckets)
         by_bucket.setdefault(b, []).append(i)
+    return by_bucket
 
+
+def _materialize_group(ds, cfg: Config, b: int, idxs: List[int]
+                       ) -> Tuple[ResidentGroup, HostMeta]:
+    """Pad + stack one bucket group's pairs on a leading pair axis (host
+    arrays; the caller decides device placement/sharding)."""
+    pk = bucket_for(max(ds.pocket_size(i) for i in idxs),
+                    cfg.data.pocket_buckets)
+    sides = {"lig": [], "rec": []}
+    gts_l, gts_r, pockets, pmasks = [], [], [], []
+    meta = HostMeta([], [], [], [])
+    for i in idxs:
+        s = ds.get_sample(i)
+        sides["lig"].append(_side_to_fields(s.lig, b))
+        sides["rec"].append(_side_to_fields(s.rec, b))
+        gl = np.zeros((b, 3), np.float32)
+        gl[: s.gt_lig.shape[0]] = s.gt_lig
+        gr = np.zeros((b, 3), np.float32)
+        gr[: s.gt_rec.shape[0]] = s.gt_rec
+        gts_l.append(gl)
+        gts_r.append(gr)
+        p = np.zeros((pk, 3), np.float32)
+        pm = np.zeros(pk, np.float32)
+        p[: s.pocket.shape[0]] = s.pocket
+        pm[: s.pocket.shape[0]] = 1.0
+        pockets.append(p)
+        pmasks.append(pm)
+        meta.n_lig.append(s.lig.num_nodes)
+        meta.n_rec.append(s.rec.num_nodes)
+        meta.gt_lig.append(np.asarray(s.gt_lig, np.float32))
+        meta.gt_rec.append(np.asarray(s.gt_rec, np.float32))
+
+    def stack_side(cols):
+        stacked = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
+        return ProteinBatch(**stacked)
+
+    group = ResidentGroup(
+        lig=stack_side(sides["lig"]), rec=stack_side(sides["rec"]),
+        gt_lig=np.stack(gts_l), gt_rec=np.stack(gts_r),
+        pocket=np.stack(pockets), pocket_mask=np.stack(pmasks))
+    return group, meta
+
+
+def build_resident_split(ds, cfg: Config) -> ResidentSplit:
+    """Group a materialized DockingDataset by symmetric node bucket, pad,
+    stack, and push each group to the default device once."""
     groups: Dict[int, ResidentGroup] = {}
     metas: Dict[int, HostMeta] = {}
-    for b, idxs in sorted(by_bucket.items()):
-        pk = bucket_for(max(ds.pocket_size(i) for i in idxs),
-                        cfg.data.pocket_buckets)
-        sides = {"lig": [], "rec": []}
-        gts_l, gts_r, pockets, pmasks = [], [], [], []
-        meta = HostMeta([], [], [], [])
-        for i in idxs:
-            s = ds.get_sample(i)
-            sides["lig"].append(_side_to_fields(s.lig, b))
-            sides["rec"].append(_side_to_fields(s.rec, b))
-            gl = np.zeros((b, 3), np.float32)
-            gl[: s.gt_lig.shape[0]] = s.gt_lig
-            gr = np.zeros((b, 3), np.float32)
-            gr[: s.gt_rec.shape[0]] = s.gt_rec
-            gts_l.append(gl)
-            gts_r.append(gr)
-            p = np.zeros((pk, 3), np.float32)
-            pm = np.zeros(pk, np.float32)
-            p[: s.pocket.shape[0]] = s.pocket
-            pm[: s.pocket.shape[0]] = 1.0
-            pockets.append(p)
-            pmasks.append(pm)
-            meta.n_lig.append(s.lig.num_nodes)
-            meta.n_rec.append(s.rec.num_nodes)
-            meta.gt_lig.append(np.asarray(s.gt_lig, np.float32))
-            meta.gt_rec.append(np.asarray(s.gt_rec, np.float32))
-
-        def stack_side(cols):
-            stacked = {k: np.stack([c[k] for c in cols]) for k in cols[0]}
-            return ProteinBatch(**{k: jnp.asarray(v)
-                                   for k, v in stacked.items()})
-
-        groups[b] = jax.device_put(ResidentGroup(
-            lig=stack_side(sides["lig"]), rec=stack_side(sides["rec"]),
-            gt_lig=jnp.asarray(np.stack(gts_l)),
-            gt_rec=jnp.asarray(np.stack(gts_r)),
-            pocket=jnp.asarray(np.stack(pockets)),
-            pocket_mask=jnp.asarray(np.stack(pmasks))))
+    for b, idxs in sorted(_group_by_bucket(ds, cfg).items()):
+        group, meta = _materialize_group(ds, cfg, b, idxs)
+        groups[b] = jax.device_put(jax.tree.map(jnp.asarray, group))
         metas[b] = meta
     return ResidentSplit(groups=groups, metas=metas, bs=cfg.train.bs)
 
@@ -150,6 +159,27 @@ def random_rotations(key, n: int) -> jnp.ndarray:
     ], axis=-2)
 
 
+def draw_augmentations(key, bs: int, do_swap: bool,
+                       translation_interval: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The per-batch random draws of `assemble_batch`, exposed so the
+    dp-sharded epoch scan can draw the GLOBAL (bs,) stream once per step and
+    slice its local rows — keeping the dp path's augmentation stream
+    bit-identical to the single-device scan's (tests/test_resident_dp.py).
+    Returns (swap_flag (bs,), rot (bs, 3, 3), tr (bs, 3))."""
+    k_swap, k_rot, k_dir, k_len = jax.random.split(key, 4)
+    if do_swap:
+        swap_flag = jax.random.bernoulli(k_swap, 0.5, (bs,))
+    else:
+        swap_flag = jnp.zeros((bs,), bool)
+    rot = random_rotations(k_rot, bs)
+    d = jax.random.normal(k_dir, (bs, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tr = d * jax.random.uniform(k_len, (bs, 1), minval=0.0,
+                                maxval=translation_interval)
+    return swap_flag, rot, tr
+
+
 def assemble_batch(store: ResidentGroup, idx: jnp.ndarray, valid: jnp.ndarray,
                    key, do_swap: bool, translation_interval: float,
                    rigid: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
@@ -158,16 +188,14 @@ def assemble_batch(store: ResidentGroup, idx: jnp.ndarray, valid: jnp.ndarray,
     """Gather `idx` rows from the resident store, apply the 50% role swap and
     a fresh uniform SE(3) pose to the ligand side — all on device.
 
-    `rigid`/`swap_flag` override the random draws (parity tests).
+    `rigid`/`swap_flag` override the random draws (parity tests, dp scan).
     Returns (batch, swap_flag)."""
     bs = idx.shape[0]
     g = jax.tree.map(lambda t: t[idx], store)
-    k_swap, k_rot, k_dir, k_len = jax.random.split(key, 4)
+    drawn_swap, drawn_rot, drawn_tr = draw_augmentations(
+        key, bs, do_swap, translation_interval)
     if swap_flag is None:
-        if do_swap:
-            swap_flag = jax.random.bernoulli(k_swap, 0.5, (bs,))
-        else:
-            swap_flag = jnp.zeros((bs,), bool)
+        swap_flag = drawn_swap
 
     def sel(a, b):
         f = swap_flag.reshape((bs,) + (1,) * (a.ndim - 1))
@@ -178,11 +206,7 @@ def assemble_batch(store: ResidentGroup, idx: jnp.ndarray, valid: jnp.ndarray,
     gt = sel(g.gt_rec, g.gt_lig)
 
     if rigid is None:
-        rot = random_rotations(k_rot, bs)
-        d = jax.random.normal(k_dir, (bs, 3))
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        tr = d * jax.random.uniform(k_len, (bs, 1), minval=0.0,
-                                    maxval=translation_interval)
+        rot, tr = drawn_rot, drawn_tr
     else:
         rot, tr = rigid
 
@@ -364,6 +388,221 @@ def run_train_epoch_resident(state: TrainState, rs: ResidentSplit,
             swaps = np.asarray(outs_list[0]["swap"])
             for si in range(k_c):
                 _meter_rows(meter, meta, idx[si], valid[si], coords[si],
+                            swaps[si], meter_interface=False)
+    avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
+    _, _, crmsd_median = meter.summarize("median")
+    _, _, crmsd_mean = meter.summarize("mean")
+    avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
+               num_clips=num_clips, num_batches=num_batches)
+    return state, avg
+
+
+# --------------------------------------------------------------------------- #
+# Data-parallel resident epochs (VERDICT r4 item 3): the store's PAIR axis is
+# sharded over the mesh 'data' axis, schedules are per-shard-local, and one
+# shard_map'ed lax.scan per bucket group runs the epoch slice with an explicit
+# gradient psum. The fastest path (device-resident) is thereby also the
+# scalable path (SURVEY §2.2): per-host uploads touch only the local shard,
+# and per-epoch host->device traffic stays one (S, bs) int32 schedule + key.
+#
+# Exactness: with the global batch laid out as dp blocks of bs/dp rows, the
+# dp update equals the single-device resident update bit-for-bit-modulo-
+# float-reduction-order (tests/test_resident_dp.py): the augmentation stream
+# is the same global draw sliced per shard (`draw_augmentations`), the loss
+# is re-normalized by the psum'd valid count, and the gradient psum runs
+# BEFORE clip telemetry and the optimizer. Dropout > 0 breaks exactness only
+# (per-device mask streams differ) — still valid SGD; paper configs use 0.
+# --------------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass
+class ResidentSplitDP:
+    groups: Dict[int, ResidentGroup]   # leaves (dp*P_loc, ...), 'data'-sharded
+    metas: Dict[int, HostMeta]         # shard-concatenated order
+    n_locs: Dict[int, List[int]]       # real pair count per shard per bucket
+    p_loc: Dict[int, int]              # padded per-shard rows per bucket
+    bs: int
+    dp: int
+
+
+def build_resident_split_dp(ds, cfg: Config, mesh) -> ResidentSplitDP:
+    """Shard each bucket group's pair axis over the mesh 'data' axis.
+
+    Pairs are dealt round-robin to shards, every shard pads to the max shard
+    size with duplicates of its first pair (never scheduled), and the stacked
+    (dp*P_loc, ...) arrays are placed with NamedSharding(P('data')) so shard
+    d owns rows [d*P_loc, (d+1)*P_loc) — a per-host-local upload on real
+    multi-host meshes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["data"]
+    assert cfg.train.bs % dp == 0, (cfg.train.bs, dp)
+    sharding = NamedSharding(mesh, P("data"))
+    groups, metas, n_locs, p_locs = {}, {}, {}, {}
+    for b, idxs in sorted(_group_by_bucket(ds, cfg).items()):
+        shards = [idxs[d::dp] for d in range(dp)]
+        n_loc = [len(s) for s in shards]
+        p_loc = max(max(n_loc), 1)
+        any_pair = idxs[0]
+        padded = [s + [s[0] if s else any_pair] * (p_loc - len(s))
+                  for s in shards]
+        order = [i for s in padded for i in s]
+        group, meta = _materialize_group(ds, cfg, b, order)
+        groups[b] = jax.device_put(group, sharding)
+        metas[b] = meta
+        n_locs[b] = n_loc
+        p_locs[b] = p_loc
+    return ResidentSplitDP(groups=groups, metas=metas, n_locs=n_locs,
+                           p_loc=p_locs, bs=cfg.train.bs, dp=dp)
+
+
+def _schedule_dp(n_locs: List[int], bs_loc: int,
+                 rng: Optional[np.random.Generator]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-shard schedules with a COMMON step count: (S, dp*bs_loc) local
+    indices + validity, where columns [d*bs_loc, (d+1)*bs_loc) hold shard
+    d's plan (same layout the single-device scan sees as one global batch)."""
+    dp = len(n_locs)
+    S = max(max(-(-n // bs_loc) for n in n_locs), 1)
+    idx = np.zeros((S, dp * bs_loc), np.int32)
+    valid = np.zeros((S, dp * bs_loc), np.float32)
+    for d, n in enumerate(n_locs):
+        cols = slice(d * bs_loc, (d + 1) * bs_loc)
+        if n == 0:
+            continue
+        order = (rng.permutation(n) if rng is not None
+                 else np.arange(n)).astype(np.int32)
+        flat = np.concatenate(
+            [order, np.full(S * bs_loc - n, order[-1], np.int32)])
+        idx[:, cols] = flat.reshape(S, bs_loc)
+        v = np.zeros((S, bs_loc), np.float32)
+        v.reshape(-1)[:n] = 1.0
+        valid[:, cols] = v
+    return idx, valid
+
+
+@functools.lru_cache(maxsize=None)
+def _dp_train_epoch_fn(cfg: Config, mesh, do_swap: bool, emit_coords: bool):
+    """Jitted shard_map'ed epoch-slice scan for one (cfg, mesh) pair."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.iegmn import uses_batch_norm
+
+    assert not uses_batch_norm(cfg.model), \
+        "dp-resident path does not track per-device BN statistics; use LN/GN"
+    dp = mesh.shape["data"]
+
+    def shard_body(state, store, idx, valid, key, lr_scale):
+        bs_loc = idx.shape[1]
+        bs_global = dp * bs_loc
+        d = jax.lax.axis_index("data")
+
+        def loss_fn_dp(params, cfg_, batch, rng, train, bn_state):
+            loss_l, (metrics, out) = loss_fn(params, cfg_, batch, rng, train,
+                                             bn_state)
+            w_l = jnp.sum(batch.complex_mask)
+            s_l = loss_l * jnp.maximum(w_l, 1.0)
+            w_g = jax.lax.psum(w_l, "data")
+            metrics = dict(metrics)
+            metrics["_w_local"] = w_l
+            return s_l / jnp.maximum(w_g, 1.0), (metrics, out)
+
+        def body(carry, inp):
+            st, k = carry
+            i, v = inp
+            k, k_aug, k_step = jax.random.split(k, 3)
+            # same GLOBAL draw as the single-device scan, sliced locally
+            swap_g, rot_g, tr_g = draw_augmentations(
+                k_aug, bs_global, do_swap, cfg.graph.translation_interval)
+            lo = d * bs_loc
+            swap = jax.lax.dynamic_slice_in_dim(swap_g, lo, bs_loc)
+            rot = jax.lax.dynamic_slice_in_dim(rot_g, lo, bs_loc)
+            tr = jax.lax.dynamic_slice_in_dim(tr_g, lo, bs_loc)
+            batch, flag = assemble_batch(
+                store, i, v, k_aug, do_swap, cfg.graph.translation_interval,
+                rigid=(rot, tr), swap_flag=swap)
+            st, m = step_body(
+                st, batch, k_step, cfg, lr_scale, loss_fn_=loss_fn_dp,
+                grad_reduce=lambda g: jax.lax.psum(g, "data"))
+            w_l = m.pop("_w_local")
+            w_g = jnp.maximum(jax.lax.psum(w_l, "data"), 1.0)
+            out = {s: jax.lax.psum(m[s] * jnp.maximum(w_l, 1.0), "data") / w_g
+                   for s in _SCALARS}
+            out["clipped"] = m["clipped"]     # from psum'd grads: replicated
+            if emit_coords:
+                out["coords"] = m.get("ligand_coords",
+                                      jnp.zeros_like(batch.gt_lig))
+                out["swap"] = flag
+            return (st, k), out
+
+        (state, _), outs = jax.lax.scan(body, (state, key), (idx, valid))
+        return state, outs
+
+    out_scalars = {s: P() for s in _SCALARS}
+    out_scalars["clipped"] = P()
+    if emit_coords:
+        out_scalars["coords"] = P(None, "data")
+        out_scalars["swap"] = P(None, "data")
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P("data"), P(None, "data"), P(None, "data"),
+                  P(), P()),
+        out_specs=(P(), out_scalars),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def run_train_epoch_resident_dp(state: TrainState, rs: ResidentSplitDP,
+                                cfg: Config, mesh, rng: np.random.Generator,
+                                key, epoch: int, log=print,
+                                lr_scale: float = 1.0,
+                                do_swap: Optional[bool] = None
+                                ) -> Tuple[TrainState, Dict[str, float]]:
+    """dp-sharded twin of run_train_epoch_resident: one shard_map'ed scan per
+    bucket group; host receives psum'd scalars + the metered coord prefix."""
+    meter_rng = np.random.default_rng((cfg.train.random_seed, 7919, epoch))
+    meter = RmsdMeter()
+    sums: Dict[str, float] = {}
+    num_batches = 0
+    num_clips = 0
+    scale = jnp.asarray(lr_scale, jnp.float32)
+    bs_loc = rs.bs // rs.dp
+    buckets = list(rs.groups)
+    rng.shuffle(buckets)
+    for b in buckets:
+        meta = rs.metas[b]
+        idx, valid = _schedule_dp(rs.n_locs[b], bs_loc, rng)
+        S = idx.shape[0]
+        num_batches += S
+        swap = cfg.data.swap_train if do_swap is None else do_swap
+        k_c = max(1, round(S * cfg.train.train_rmsd_fraction))
+        perm = meter_rng.permutation(S).astype(np.int64)
+        idx = idx[perm]
+        valid = valid[perm]
+        outs_list = []
+        for (lo, hi, emit) in ((0, k_c, True), (k_c, S, False)):
+            if lo == hi:
+                continue
+            key, sub = jax.random.split(key)
+            fn = _dp_train_epoch_fn(cfg, mesh, swap, emit)
+            state, outs = fn(state, rs.groups[b], jnp.asarray(idx[lo:hi]),
+                             jnp.asarray(valid[lo:hi]), sub, scale)
+            outs_list.append(outs)
+        for outs in outs_list:
+            host_scalars = {k: np.asarray(outs[k]) for k in
+                            _SCALARS + ("clipped",)}
+            for k in _SCALARS:
+                sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
+            num_clips += int(host_scalars["clipped"].sum())
+        if k_c:
+            coords = np.asarray(outs_list[0]["coords"])
+            swaps = np.asarray(outs_list[0]["swap"])
+            # map (step, col) -> global store row: shard d = col // bs_loc,
+            # local index i -> row d*P_loc + i (the shard-concat meta order)
+            gid = (np.arange(rs.dp * bs_loc) // bs_loc)[None, :] \
+                * rs.p_loc[b] + idx[:k_c]
+            for si in range(k_c):
+                _meter_rows(meter, meta, gid[si], valid[si], coords[si],
                             swaps[si], meter_interface=False)
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")

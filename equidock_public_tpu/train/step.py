@@ -48,7 +48,7 @@ def loss_fn(params, cfg: Config, batch: PairBatch, rng, train: bool,
 def step_body(
     state: TrainState, batch: PairBatch, rng, cfg: Config,
     lr_scale: jnp.ndarray | float = 1.0,
-    loss_fn_=None,
+    loss_fn_=None, grad_reduce=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step (shared by the single-chip `train_step` jit and the
     multi-chip `parallel.train.make_parallel_train_step` /
@@ -57,11 +57,17 @@ def step_body(
     ReduceLROnPlateau, stepped per epoch by the loop as in the reference,
     `train.py:364-369`); pass it as a jnp scalar so factor changes don't
     recompile. `loss_fn_` swaps the forward (halo path) while keeping the
-    optimizer/telemetry identical."""
+    optimizer/telemetry identical. `grad_reduce` (manual-collective paths,
+    e.g. the dp-resident shard_map scan) reduces the per-device gradients —
+    psum over 'data' — BEFORE the norm/clip telemetry and the optimizer
+    update, so clip counting and the update see the same global gradient the
+    single-chip path sees."""
     opt = make_optimizer(cfg.train)
     fn = loss_fn_ if loss_fn_ is not None else loss_fn
     (loss, (metrics, out)), grads = jax.value_and_grad(fn, has_aux=True)(
         state.params, cfg, batch, rng, True, state.bn_state)
+    if grad_reduce is not None:
+        grads = grad_reduce(grads)
     gnorm = optax.global_norm(grads)
     if cfg.train.freeze_original and isinstance(grads, dict) \
             and "finetune" in grads:
