@@ -58,8 +58,9 @@ def epoch_bench(mode: str):
 
         cfg = Config.dips_paper_model()
         n_pairs = int(os.environ.get("BENCH_PAIRS", "200"))
-        base = dips_testset_sizes(
-            "/root/reference/test_sets_pdb/dips_test_random_transformed")
+        from equidock_public_tpu.config import reference_root
+        base = dips_testset_sizes(reference_root(
+            "test_sets_pdb/dips_test_random_transformed", must_exist=True))
         rs = np.random.default_rng(7)
         sizes = [base[i] for i in rs.integers(0, len(base), n_pairs)]
         path = write_synth_split("/tmp/bench_dips_cache/train.npz", sizes,
@@ -188,8 +189,9 @@ def _resident_epoch_fields() -> dict:
                                                     write_synth_split)
 
         n_pairs = int(os.environ.get("BENCH_PAIRS", "200"))
-        base = dips_testset_sizes(
-            "/root/reference/test_sets_pdb/dips_test_random_transformed")
+        from equidock_public_tpu.config import reference_root
+        base = dips_testset_sizes(reference_root(
+            "test_sets_pdb/dips_test_random_transformed", must_exist=True))
         rs_ = np.random.default_rng(7)
         sizes = [base[i] for i in rs_.integers(0, len(base), n_pairs)]
         path = write_synth_split("/tmp/bench_dips_cache/train.npz", sizes,

@@ -15,7 +15,7 @@ import argparse
 import dataclasses
 import os
 
-from ..config import Config
+from ..config import Config, reference_root
 from ..data.crops import generate_crop_shards
 from ..data.synth import dips_testset_sizes
 from ._common import add_config_args, config_from_args
@@ -32,9 +32,10 @@ def main():
                    help="DB5 structures dir (default: the db5 config's "
                         "raw_data_path)")
     p.add_argument("-dips_sizes_dir",
-                   default="/root/reference/test_sets_pdb/"
-                           "dips_test_random_transformed",
-                   help="frozen DIPS test dir for the size distribution")
+                   default=reference_root(
+                       "test_sets_pdb/dips_test_random_transformed"),
+                   help="frozen DIPS test dir for the size distribution "
+                        "(default derives from EQUIDOCK_REFERENCE_ROOT)")
     a = p.parse_args()
 
     db5_cfg = Config.db5_paper_model()
@@ -60,6 +61,11 @@ def main():
     # DB5 test parents are never cropped
     generate_crop_shards(cfg, "val", split_codes("val"), raw, a.n_val_pairs,
                          a.crop_seed + 1, sizes, a.max_side, cfg.data.n_jobs)
+    # NOTE (ADVICE r4): the crop 'test' split is drawn from the SAME val
+    # parents as the crop val split (only the seed differs) — it exists so
+    # `-data dips` runs have a final-test print, NOT as an independent
+    # evaluation. Never base claims on crop-test numbers; real evaluation is
+    # the frozen DB5/DIPS test sets.
     generate_crop_shards(cfg, "test", split_codes("val"), raw,
                          max(64, a.n_val_pairs // 4), a.crop_seed + 2, sizes,
                          a.max_side, cfg.data.n_jobs)

@@ -233,8 +233,15 @@ def serve_batched(params, cfg, forward_fn, max_batch: int, window_ms: float):
                 print(json.dumps({"ok": False, "error": e["err"]}),
                       flush=True)
             else:
+                # ADVICE r4: report both figures — `batch_seconds` is the
+                # actual wall time of the co-batched dispatch (the latency a
+                # caller experienced), `seconds` the amortized per-request
+                # share (the throughput figure). Small requests co-batched
+                # with a large one pad to its node bucket, so their amortized
+                # share can overstate their standalone cost.
                 print(json.dumps({"output": e["req"]["output"],
                                   "seconds": round(dt / max(len(ok), 1), 4),
+                                  "batch_seconds": round(dt, 4),
                                   "num_lig_res": e["n_lig"],
                                   "num_rec_res": e["n_rec"],
                                   "batched": len(ok),

@@ -10,7 +10,22 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import os
 from typing import Optional, Tuple
+
+
+def reference_root(*parts: str, must_exist: bool = False) -> str:
+    """Root of the reference data checkout (raw structures, frozen test
+    sets). Defaults to this environment's mount; override with
+    EQUIDOCK_REFERENCE_ROOT when deploying elsewhere (ADVICE r4: tools and
+    benches must not hard-couple to one checkout location)."""
+    root = os.environ.get("EQUIDOCK_REFERENCE_ROOT", "/root/reference")
+    path = os.path.join(root, *parts)
+    if must_exist and not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — set EQUIDOCK_REFERENCE_ROOT to your "
+            "reference-data checkout (PDB structures / frozen test sets)")
+    return path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,8 +153,8 @@ class DataConfig:
     data_fraction: float = 1.0
     split: int = 0
     n_jobs: int = 4
-    raw_data_path: str = "/root/reference/data/benchmark5.5/structures"
-    split_files_path: str = "/root/reference/data/benchmark5.5/cv/cv_0"
+    raw_data_path: str = reference_root("data/benchmark5.5/structures")
+    split_files_path: str = reference_root("data/benchmark5.5/cv/cv_0")
     cache_dir: str = "./cache"
     # Padding buckets for node counts; a batch pads N_lig / N_rec up to the
     # smallest bucket that fits (bounds XLA recompilations; SURVEY §7.3).

@@ -70,6 +70,19 @@ class Member:
         self.params = payload["params"]
         self.bn_state = payload.get("bn_state")
         self.cfg = dataclasses.replace(base_cfg, model=cfg_ckpt.model)
+        # Featurization params shape the member's INPUT graphs, which callers
+        # build from base_cfg.graph before calling predict_rigid — a member
+        # trained with different featurization would silently see mismatched
+        # features (ADVICE r4). All committed artifacts share the defaults;
+        # fail loudly if one ever doesn't.
+        for f in ("graph_cutoff", "graph_max_neighbor", "pocket_cutoff"):
+            got = getattr(cfg_ckpt.graph, f)
+            want = getattr(base_cfg.graph, f)
+            if got != want:
+                raise ValueError(
+                    f"ensemble member {ckpt_dir} was trained with "
+                    f"graph.{f}={got} but the ensemble featurizes with "
+                    f"{want}; rebuild inputs with the member's settings")
         self.name = ckpt_dir
         self.forward = jax.jit(lambda p, b: docking_forward(
             p, self.cfg.model, b, bn_state=self.bn_state))

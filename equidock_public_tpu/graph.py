@@ -121,15 +121,29 @@ class PadCache:
         self._lru: "collections.OrderedDict[tuple, int]" = \
             collections.OrderedDict()
         self._refs: dict = {}
+        # gid -> set of live _lru keys: makes graph-death cleanup O(entries)
+        # and lets _refs shrink when a live graph's last entry is evicted
+        # (ADVICE r4: the weakref bookkeeping must track the byte budget,
+        # not the number of graphs ever seen)
+        self._gid_keys: dict = {}
         self._bytes = 0
 
     @property
     def nbytes(self) -> int:
         return self._bytes
 
+    def _drop_key(self, key: tuple) -> None:
+        gid = key[0]
+        keys = self._gid_keys.get(gid)
+        if keys is not None:
+            keys.discard(key)
+            if not keys:
+                self._gid_keys.pop(gid, None)
+                self._refs.pop(gid, None)
+
     def _forget_graph(self, gid: int) -> None:
-        for key in [k for k in self._lru if k[0] == gid]:
-            self._bytes -= self._lru.pop(key)
+        for key in self._gid_keys.pop(gid, set()):
+            self._bytes -= self._lru.pop(key, 0)
         self._refs.pop(gid, None)
 
     def get(self, g: ProteinGraph, n_max: int) -> dict:
@@ -137,7 +151,6 @@ class PadCache:
         if per_graph is None:
             per_graph = {}
             self._cache[g] = per_graph
-            self._refs[id(g)] = self._weakref.ref(g)
             self._weakref.finalize(g, self._forget_graph, id(g))
         key = (id(g), n_max)
         hit = per_graph.get(n_max)
@@ -148,6 +161,8 @@ class PadCache:
         nb = sum(a.nbytes for a in hit.values())
         if nb <= self.max_bytes:
             per_graph[n_max] = hit
+            self._refs[id(g)] = self._weakref.ref(g)
+            self._gid_keys.setdefault(id(g), set()).add(key)
             self._lru[key] = nb
             self._bytes += nb
             while self._bytes > self.max_bytes and self._lru:
@@ -157,6 +172,7 @@ class PadCache:
                 og = ref() if ref is not None else None
                 if og is not None:
                     self._cache.get(og, {}).pop(on, None)
+                self._drop_key((ogid, on))
         return hit
 
 

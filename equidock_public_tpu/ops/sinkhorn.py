@@ -108,6 +108,15 @@ def exact_emd_plan_host(cost, row_mask):
     cost = np.asarray(cost, np.float64)
     row_mask = np.asarray(row_mask)
     B, P, K = cost.shape
+    # Memory bound (VERDICT r4 weak item 5): the dense equality system is
+    # (n+K-1, n*K) float64 — quadratic-ish in pocket size. Measured pockets
+    # are <= 156 rows (RESULTS.md OT study; ~2 MB); guard the A/B arm so a
+    # future large-pocket config fails loudly instead of silently ballooning
+    # host memory. Sparse assembly is the fix if this ever trips.
+    assert P * K <= 1_000_000, (
+        f"exact_emd_plan_host builds a dense ({P}+{K}-1, {P}*{K}) LP "
+        f"(~{(P + K) * P * K * 8 / 1e9:.1f} GB); use the Sinkhorn solver or "
+        "sparsify the constraint matrix for pockets this large")
     plans = np.zeros((B, P, K), np.float32)
     for b in range(B):
         valid = np.flatnonzero(row_mask[b] > 0)
