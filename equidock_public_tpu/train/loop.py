@@ -255,13 +255,26 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         assert not cfg.data.pack, \
             "-device_resident already removes the padding-collate cost; " \
             "it does not compose with -pack"
-        from .resident import (build_resident_split,
+        from .resident import (StreamedResidentSplit,
+                               build_resident_split,
                                build_resident_split_dp,
                                run_eval_epoch_resident,
                                run_train_epoch_resident,
-                               run_train_epoch_resident_dp)
+                               run_train_epoch_resident_dp,
+                               run_train_epoch_resident_streamed)
 
-        if cfg.parallel.dp > 1:
+        streamed = (cfg.data.data == "dips" and cfg.data.stream_dips)
+        if streamed:
+            # Streamed resident (VERDICT r4 item 6): group-by-group upload
+            # with double buffering; HBM bounded by the two largest groups,
+            # host RSS by the shard LRU window.
+            assert cfg.parallel.dp == 1, \
+                "-stream_dips -device_resident is single-chip for now; " \
+                "drop -dp for streamed-resident or -stream_dips for dp"
+            train_store = StreamedResidentSplit.build(train_ds, cfg)
+            log("streamed-resident epochs: groups uploaded per epoch "
+                f"(prefetch 1), {len(train_store.by_bucket)} bucket groups")
+        elif cfg.parallel.dp > 1:
             # dp-resident (VERDICT r4 item 3): train store pair-sharded over
             # 'data', shard_map'ed epoch scans with explicit grad psum. Val/
             # test stores stay on the default device (selection metering is
@@ -284,10 +297,13 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
         n_bytes = sum(
             x.size * x.dtype.itemsize
             for rs in resident.values()
-            for x in jax.tree.leaves(rs.groups))
-        log(f"device-resident epochs: {n_bytes / 1e6:.0f} MB in HBM, "
-            f"groups/split = "
-            + str({k: sorted(rs.groups) for k, rs in resident.items()}))
+            for x in jax.tree.leaves(getattr(rs, "groups", {})))
+        log(f"device-resident epochs: {n_bytes / 1e6:.0f} MB in HBM"
+            + (" (train streams per epoch)" if streamed else "")
+            + ", groups/split = "
+            + str({k: sorted(getattr(rs, "groups", None)
+                             or rs.by_bucket)
+                   for k, rs in resident.items()}))
 
     step_fn = None
     par = cfg.parallel
@@ -348,6 +364,10 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
                 state, tr = run_train_epoch_resident_dp(
                     state, resident["train"], cfg, resident_mesh, rng, key,
                     epoch, log, lr_scale=lr_scale, do_swap=train_ds.swap)
+            elif isinstance(resident["train"], StreamedResidentSplit):
+                state, tr = run_train_epoch_resident_streamed(
+                    state, resident["train"], cfg, rng, key, epoch, log,
+                    lr_scale=lr_scale, do_swap=train_ds.swap)
             else:
                 state, tr = run_train_epoch_resident(
                     state, resident["train"], cfg, rng, key, epoch, log,

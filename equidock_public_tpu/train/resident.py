@@ -77,12 +77,18 @@ def _side_to_fields(g, n_max: int) -> dict:
 
 
 def _group_by_bucket(ds, cfg: Config) -> Dict[int, List[int]]:
-    assert ds.samples is not None, "device_resident requires a materialized " \
-        "dataset (not stream_dips)"
+    """Bucket-group a dataset by padded pair size. Works on materialized AND
+    streaming datasets (sizes come from the accessors / shard index); for a
+    streaming dataset each group's indices are ordered by owning shard so a
+    later materialization walks shards sequentially through the LRU instead
+    of thrashing it."""
     by_bucket: Dict[int, List[int]] = {}
     for i in range(len(ds.codes)):
         b = bucket_for(ds.pair_max_nodes(i), cfg.data.node_buckets)
         by_bucket.setdefault(b, []).append(i)
+    if ds.index is not None:
+        for idxs in by_bucket.values():
+            idxs.sort(key=lambda i: ds.index.shard_of[i])
     return by_bucket
 
 
@@ -389,6 +395,117 @@ def run_train_epoch_resident(state: TrainState, rs: ResidentSplit,
             for si in range(k_c):
                 _meter_rows(meter, meta, idx[si], valid[si], coords[si],
                             swaps[si], meter_interface=False)
+    avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
+    _, _, crmsd_median = meter.summarize("median")
+    _, _, crmsd_mean = meter.summarize("mean")
+    avg.update(complex_rmsd_median=crmsd_median, complex_rmsd_mean=crmsd_mean,
+               num_clips=num_clips, num_batches=num_batches)
+    return state, avg
+
+
+# --------------------------------------------------------------------------- #
+# Streamed resident epochs (VERDICT r4 item 6): DIPS-scale corpora whose
+# resident stores exceed HBM run group-by-group — the next bucket group's
+# arrays are materialized (host) and uploaded (H2D) by a producer thread
+# WHILE the current group's scan runs, and a group's device arrays are
+# deleted as soon as its scan results are on host. Peak HBM is therefore
+# bounded by the two largest groups (+ params/opt), and host RSS by the
+# shard LRU window — `-device_resident -stream_dips` composes.
+#
+# The schedule/augmentation/update math is identical to the fully-resident
+# path (same `_schedule` + `train_epoch_scan`), so the two runners produce
+# the same parameters given the same seeds (tests/test_resident_stream.py).
+# --------------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass
+class StreamedResidentSplit:
+    """Host-side plan for streamed resident epochs: the dataset stays on
+    host (materialized or shard-streaming); groups are realized per epoch."""
+
+    ds: object
+    by_bucket: Dict[int, List[int]]
+    bs: int
+
+    @classmethod
+    def build(cls, ds, cfg: Config) -> "StreamedResidentSplit":
+        return cls(ds=ds, by_bucket=_group_by_bucket(ds, cfg),
+                   bs=cfg.train.bs)
+
+
+def run_train_epoch_resident_streamed(
+        state: TrainState, srs: StreamedResidentSplit, cfg: Config,
+        rng: np.random.Generator, key, epoch: int, log=print,
+        lr_scale: float = 1.0, do_swap: Optional[bool] = None,
+        prefetch: int = 1) -> Tuple[TrainState, Dict[str, float]]:
+    """Streamed twin of run_train_epoch_resident: double-buffered group
+    upload, per-group scan, eager group deletion."""
+    import queue as queue_mod
+    import threading
+
+    meter_rng = np.random.default_rng((cfg.train.random_seed, 7919, epoch))
+    meter = RmsdMeter()
+    sums: Dict[str, float] = {}
+    num_batches = 0
+    num_clips = 0
+    scale = jnp.asarray(lr_scale, jnp.float32)
+    buckets = list(srs.by_bucket)
+    rng.shuffle(buckets)
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, prefetch))
+    _END = object()
+
+    def producer():
+        try:
+            for b in buckets:
+                group, meta = _materialize_group(srs.ds, cfg, b,
+                                                 srs.by_bucket[b])
+                dev = jax.device_put(jax.tree.map(jnp.asarray, group))
+                q.put((b, dev, meta))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        b, store, meta = item
+        idx, valid = _schedule(len(meta.n_lig), srs.bs, rng)
+        S = idx.shape[0]
+        num_batches += S
+        swap = cfg.data.swap_train if do_swap is None else do_swap
+        k_c = max(1, round(S * cfg.train.train_rmsd_fraction))
+        perm = meter_rng.permutation(S).astype(np.int64)
+        idx = idx[perm]
+        valid = valid[perm]
+        outs_list = []
+        for (lo, hi, emit) in ((0, k_c, True), (k_c, S, False)):
+            if lo == hi:
+                continue
+            key, sub = jax.random.split(key)
+            state, outs = train_epoch_scan(
+                state, store, jnp.asarray(idx[lo:hi]),
+                jnp.asarray(valid[lo:hi]), sub, scale, cfg, swap,
+                emit_coords=emit)
+            outs_list.append(outs)
+        for outs in outs_list:
+            host_scalars = {k: np.asarray(outs[k]) for k in
+                            _SCALARS + ("clipped",)}
+            for k in _SCALARS:
+                sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
+            num_clips += int(host_scalars["clipped"].sum())
+        if k_c:
+            coords = np.asarray(outs_list[0]["coords"])
+            swaps = np.asarray(outs_list[0]["swap"])
+            for si in range(k_c):
+                _meter_rows(meter, meta, idx[si], valid[si], coords[si],
+                            swaps[si], meter_interface=False)
+        # everything this group produced is on host now (np.asarray above
+        # synced); free its HBM before the next group's scan needs it
+        for x in jax.tree.leaves(store):
+            x.delete()
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")
     _, _, crmsd_mean = meter.summarize("mean")
