@@ -62,8 +62,11 @@ score_db5() {  # NAME CKPT — frozen-test MEMBER-CHAR scoring (finals only)
 best_ckpt() { ls -dt ./checkpts_r5/$1*/*/db5_model_best 2>/dev/null | head -1; }
 
 # _train NAME MAXS [flags...] — probe-gated, checkpoint-preserving retries
+# A $Q/STOP file ends the queue between trials (clean TPU handoff, e.g. for
+# an end-of-session bench run) without killing an in-flight training.
 _train() {
   NAME=$1; MAXS=$2; shift 2
+  if [ -f "$Q/STOP" ]; then log "$NAME: STOP file present — not starting"; return 1; fi
   TRIALS=$((TRIALS+1))
   if [ -n "$(best_ckpt "$NAME")" ]; then
     log "$NAME: checkpoint already exists — skipping (resume case)"
@@ -119,6 +122,23 @@ final64() {  # full-convergence 64-dim cv_0 final (VERDICT item 2)
 }
 
 log "round5 queue start"
+
+# Fresh-clone robustness: the feature caches are gitignored, so build any
+# missing split cache up front (CPU, ~2 min for all five splits).
+build_caches() {
+  for F in 0 1 2 3; do
+    [ -f "./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/cv_$((10+F))/train.npz" ] || \
+      $CPU_ENV timeout 900 python -m equidock_public_tpu.cli.preprocess \
+        -split $((10+F)) -split_files_path data_splits/cv_fold$F \
+        -cache_dir ./cache -n_jobs 8 val train test >> $Q/preprocess.log 2>&1
+  done
+  [ -f "./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/cv_0/train.npz" ] || \
+    $CPU_ENV timeout 900 python -m equidock_public_tpu.cli.preprocess \
+      -cache_dir ./cache -n_jobs 8 val train test >> $Q/preprocess.log 2>&1
+  log "caches ready"
+}
+build_caches
+
 fold 0
 final64 70
 fold 1
