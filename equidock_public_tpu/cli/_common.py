@@ -119,6 +119,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                         "per-step host collate/transfer cost and the "
                         "transport RSS leak. Materialized datasets, "
                         "single-chip, unpacked")
+    p.add_argument("-trim_remainder", action="store_true",
+                   help="device-resident epochs: run each bucket group's "
+                        "n %% bs leftover pairs as a trimmed narrow scan "
+                        "step (no dead slots) — same update math, less "
+                        "padded compute")
     p.add_argument("-dp", type=int, default=1,
                    help="data-parallel mesh size (shards the complex axis)")
     p.add_argument("-gp", type=int, default=1,
@@ -178,6 +183,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
             use_fused_intersection=a.use_fused_intersection,
             val_repeats=a.val_repeats, ot_solver=a.ot_solver,
             select_metric=a.select_metric,
+            trim_remainder=a.trim_remainder,
             freeze_original=getattr(a, "freeze_original", False)),
         data=DataConfig(
             data=a.data, data_fraction=a.data_fraction, split=a.split,

@@ -145,6 +145,14 @@ class TrainConfig:
     # complex-RMSD-median rule, train.py:372), 'irmsd', or 'sum' (CRMSD +
     # IRMSD medians — targets a checkpoint good at BOTH headline metrics).
     select_metric: str = "crmsd"
+    # Device-resident epochs only: run each bucket group's n % bs leftover
+    # pairs as one TRIMMED (1, r) scan step instead of padding the last step
+    # to bs. Identical update math (dead slots contribute zero to the
+    # pm-normalized loss) with the same step membership; at DB5 scale the
+    # dead slots are ~15-30% of scheduled compute on fine bucket ladders
+    # (PERF.md round-5 table). Adds at most one extra compile per (bucket,
+    # r) pair, closed after the first epoch.
+    trim_remainder: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -315,6 +315,89 @@ def _schedule(n: int, bs: int, rng: Optional[np.random.Generator]
     return idx, valid
 
 
+def _group_chunks(n: int, bs: int, rng: np.random.Generator,
+                  meter_rng: np.random.Generator, frac: float,
+                  trim: bool) -> Tuple[list, int]:
+    """Partition one group's shuffled epoch schedule into scan chunks.
+
+    trim=False reproduces the legacy layout exactly: ceil(n/bs) steps of
+    width bs, last step padded with repeats (valid=0), all S steps permuted
+    and the first k_c metered.
+
+    trim=True (cfg.train.trim_remainder) runs the n % bs leftover pairs as
+    ONE narrow (1, r) step with no dead slots. Step membership is the same
+    partition of the shuffled order, and dead slots contribute zero to the
+    pair_mask-normalized loss (train/losses.py total_loss), so the update
+    math is unchanged — only padded compute is removed (~15-30% of scheduled
+    node-slots on fine bucket ladders at DB5 scale). The remainder step is
+    excluded from RMSD metering unless it is the group's only step.
+
+    Returns (chunks, S): chunks = [(idx (s, w) int32, valid (s, w) f32,
+    emit_coords), ...]; S = gradient-step count (== ceil(n/bs) either way).
+    """
+    if not trim:
+        idx, valid = _schedule(n, bs, rng)
+        S = idx.shape[0]
+        k_c = max(1, round(S * frac))
+        perm = meter_rng.permutation(S).astype(np.int64)
+        idx, valid = idx[perm], valid[perm]
+        chunks = [(idx[:k_c], valid[:k_c], True)]
+        if k_c < S:
+            chunks.append((idx[k_c:], valid[k_c:], False))
+        return chunks, S
+    order = (rng.permutation(n) if rng is not None
+             else np.arange(n)).astype(np.int32)
+    s_full, r = divmod(n, bs)
+    S = s_full + (1 if r else 0)
+    k_c = max(1, round(S * frac))
+    if s_full == 0:
+        # group smaller than bs: the trimmed remainder IS the epoch slice
+        return [(order.reshape(1, n), np.ones((1, n), np.float32), True)], S
+    idx = order[: s_full * bs].reshape(s_full, bs)
+    perm = meter_rng.permutation(s_full).astype(np.int64)
+    idx = idx[perm]
+    k_m = min(k_c, s_full)
+    chunks = [(idx[:k_m], np.ones((k_m, bs), np.float32), True)]
+    if k_m < s_full:
+        chunks.append((idx[k_m:], np.ones((s_full - k_m, bs), np.float32),
+                       False))
+    if r:
+        chunks.append((order[s_full * bs:].reshape(1, r),
+                       np.ones((1, r), np.float32), False))
+    return chunks, S
+
+
+def _run_group(state: TrainState, store: ResidentGroup, meta: HostMeta,
+               bs: int, cfg: Config, rng: np.random.Generator,
+               meter_rng: np.random.Generator, key, swap: bool, scale,
+               meter: RmsdMeter, sums: Dict[str, float]
+               ) -> Tuple[TrainState, "jax.Array", int, int]:
+    """One bucket group's train-epoch slice: scheduled scans + host-side
+    scalar/metering accumulation. Shared by the fully-resident and streamed
+    runners so their math stays identical (tests/test_resident_stream.py).
+    Returns (state, key, steps, clips)."""
+    chunks, S = _group_chunks(len(meta.n_lig), bs, rng, meter_rng,
+                              cfg.train.train_rmsd_fraction,
+                              cfg.train.trim_remainder)
+    n_clips = 0
+    for idx, valid, emit in chunks:
+        key, sub = jax.random.split(key)
+        state, outs = train_epoch_scan(
+            state, store, jnp.asarray(idx), jnp.asarray(valid), sub, scale,
+            cfg, swap, emit_coords=emit)
+        host = {k: np.asarray(outs[k]) for k in _SCALARS + ("clipped",)}
+        for k in _SCALARS:
+            sums[k] = sums.get(k, 0.0) + float(host[k].sum())
+        n_clips += int(host["clipped"].sum())
+        if emit:
+            coords = np.asarray(outs["coords"])
+            swaps = np.asarray(outs["swap"])
+            for si in range(idx.shape[0]):
+                _meter_rows(meter, meta, idx[si], valid[si], coords[si],
+                            swaps[si], meter_interface=False)
+    return state, key, S, n_clips
+
+
 def _meter_rows(meter: RmsdMeter, meta: HostMeta, idx: np.ndarray,
                 valid: np.ndarray, coords: np.ndarray,
                 swap: Optional[np.ndarray], meter_interface: bool) -> None:
@@ -356,45 +439,18 @@ def run_train_epoch_resident(state: TrainState, rs: ResidentSplit,
     scale = jnp.asarray(lr_scale, jnp.float32)
     buckets = list(rs.groups)
     rng.shuffle(buckets)
-    first = True
+    swap = cfg.data.swap_train if do_swap is None else do_swap
+    # Sampled train-RMSD metering (train.py:136): the schedule is permuted so
+    # sampled steps form a PREFIX and only that prefix scan emits coords; the
+    # sampled COUNT is a fixed function of S (not per-step Bernoulli) so the
+    # scan lengths are epoch-invariant — otherwise every epoch would draw a
+    # new k_c and pay a fresh XLA compile per length. See _group_chunks.
     for b in buckets:
-        meta = rs.metas[b]
-        idx, valid = _schedule(len(meta.n_lig), rs.bs, rng)
-        S = idx.shape[0]
+        state, key, S, clips = _run_group(
+            state, rs.groups[b], rs.metas[b], rs.bs, cfg, rng, meter_rng,
+            key, swap, scale, meter, sums)
         num_batches += S
-        swap = cfg.data.swap_train if do_swap is None else do_swap
-        # sampled train-RMSD metering (train.py:136): permute the schedule
-        # so sampled steps form a prefix; only the prefix scan emits coords.
-        # The sampled COUNT is a fixed function of S (not per-step Bernoulli)
-        # so both scan lengths are epoch-invariant — otherwise every epoch
-        # would draw a new k_c and pay a fresh XLA compile per length.
-        k_c = max(1, round(S * cfg.train.train_rmsd_fraction))
-        first = False
-        perm = meter_rng.permutation(S).astype(np.int64)
-        idx = idx[perm]
-        valid = valid[perm]
-        outs_list = []
-        for (lo, hi, emit) in ((0, k_c, True), (k_c, S, False)):
-            if lo == hi:
-                continue
-            key, sub = jax.random.split(key)
-            state, outs = train_epoch_scan(
-                state, rs.groups[b], jnp.asarray(idx[lo:hi]),
-                jnp.asarray(valid[lo:hi]), sub, scale, cfg, swap,
-                emit_coords=emit)
-            outs_list.append(outs)
-        for outs in outs_list:
-            host_scalars = {k: np.asarray(outs[k]) for k in
-                            _SCALARS + ("clipped",)}
-            for k in _SCALARS:
-                sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
-            num_clips += int(host_scalars["clipped"].sum())
-        if k_c:
-            coords = np.asarray(outs_list[0]["coords"])
-            swaps = np.asarray(outs_list[0]["swap"])
-            for si in range(k_c):
-                _meter_rows(meter, meta, idx[si], valid[si], coords[si],
-                            swaps[si], meter_interface=False)
+        num_clips += clips
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
     _, _, crmsd_median = meter.summarize("median")
     _, _, crmsd_mean = meter.summarize("mean")
@@ -472,38 +528,14 @@ def run_train_epoch_resident_streamed(
         if item is _END:
             break
         b, store, meta = item
-        idx, valid = _schedule(len(meta.n_lig), srs.bs, rng)
-        S = idx.shape[0]
-        num_batches += S
         swap = cfg.data.swap_train if do_swap is None else do_swap
-        k_c = max(1, round(S * cfg.train.train_rmsd_fraction))
-        perm = meter_rng.permutation(S).astype(np.int64)
-        idx = idx[perm]
-        valid = valid[perm]
-        outs_list = []
-        for (lo, hi, emit) in ((0, k_c, True), (k_c, S, False)):
-            if lo == hi:
-                continue
-            key, sub = jax.random.split(key)
-            state, outs = train_epoch_scan(
-                state, store, jnp.asarray(idx[lo:hi]),
-                jnp.asarray(valid[lo:hi]), sub, scale, cfg, swap,
-                emit_coords=emit)
-            outs_list.append(outs)
-        for outs in outs_list:
-            host_scalars = {k: np.asarray(outs[k]) for k in
-                            _SCALARS + ("clipped",)}
-            for k in _SCALARS:
-                sums[k] = sums.get(k, 0.0) + float(host_scalars[k].sum())
-            num_clips += int(host_scalars["clipped"].sum())
-        if k_c:
-            coords = np.asarray(outs_list[0]["coords"])
-            swaps = np.asarray(outs_list[0]["swap"])
-            for si in range(k_c):
-                _meter_rows(meter, meta, idx[si], valid[si], coords[si],
-                            swaps[si], meter_interface=False)
-        # everything this group produced is on host now (np.asarray above
-        # synced); free its HBM before the next group's scan needs it
+        state, key, S, clips = _run_group(
+            state, store, meta, srs.bs, cfg, rng, meter_rng, key, swap,
+            scale, meter, sums)
+        num_batches += S
+        num_clips += clips
+        # everything this group produced is on host now (_run_group's
+        # np.asarray synced); free its HBM before the next group's scan
         for x in jax.tree.leaves(store):
             x.delete()
     avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
@@ -740,23 +772,39 @@ def run_eval_epoch_resident(params, rs: ResidentSplit, cfg: Config, key,
     counts = [0] * repeats
     for b, store in rs.groups.items():
         meta = rs.metas[b]
-        idx, valid = _schedule(len(meta.n_lig), rs.bs, rng=None)
-        S = idx.shape[0]
-        idx_r = np.tile(idx, (repeats, 1))
-        valid_r = np.tile(valid, (repeats, 1))
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, S * repeats)
-        outs = eval_epoch_scan(params, store, jnp.asarray(idx_r),
-                               jnp.asarray(valid_r), keys, bn_state, cfg)
-        host = {k: np.asarray(v) for k, v in outs.items()}
-        for r in range(repeats):
-            for s in range(S):
-                row = r * S + s
-                for k in _SCALARS:
-                    reps[r][k] = reps[r].get(k, 0.0) + float(host[k][row])
-                counts[r] += 1
-                _meter_rows(meters[r], meta, idx[s], valid[s],
-                            host["coords"][row], None, meter_interface=True)
+        n = len(meta.n_lig)
+        if cfg.train.trim_remainder:
+            # same step partition as _group_chunks(trim=True), unshuffled:
+            # full-width steps + one narrow (1, r) step with no dead slots
+            s_full, rr = divmod(n, rs.bs)
+            order = np.arange(n, dtype=np.int32)
+            parts = []
+            if s_full:
+                parts.append((order[: s_full * rs.bs].reshape(s_full, rs.bs),
+                              np.ones((s_full, rs.bs), np.float32)))
+            if rr:
+                parts.append((order[s_full * rs.bs:].reshape(1, rr),
+                              np.ones((1, rr), np.float32)))
+        else:
+            parts = [_schedule(n, rs.bs, rng=None)]
+        for idx, valid in parts:
+            S = idx.shape[0]
+            idx_r = np.tile(idx, (repeats, 1))
+            valid_r = np.tile(valid, (repeats, 1))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, S * repeats)
+            outs = eval_epoch_scan(params, store, jnp.asarray(idx_r),
+                                   jnp.asarray(valid_r), keys, bn_state, cfg)
+            host = {k: np.asarray(v) for k, v in outs.items()}
+            for r in range(repeats):
+                for s in range(S):
+                    row = r * S + s
+                    for k in _SCALARS:
+                        reps[r][k] = reps[r].get(k, 0.0) + float(host[k][row])
+                    counts[r] += 1
+                    _meter_rows(meters[r], meta, idx[s], valid[s],
+                                host["coords"][row], None,
+                                meter_interface=True)
     out_reps = []
     for r in range(repeats):
         avg = {k: v / max(counts[r], 1) for k, v in reps[r].items()}
