@@ -185,8 +185,8 @@ def _resident_epoch_fields() -> dict:
         cfg,
         data=dataclasses.replace(
             cfg.data,
-            node_buckets=(256, 320, 384, 448, 512, 576, 640, 768, 896,
-                          1024, 1280, 1536, 2048, 3072)),
+            node_buckets=(256, 320, 384, 448, 512, 640, 768, 1024, 1280,
+                          1536, 2048, 3072)),
         train=dataclasses.replace(cfg.train, trim_remainder=True))
     cache = ("./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/"
              "cv_0/train.npz")
