@@ -104,8 +104,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                    default="/root/reference/data/benchmark5.5/cv/cv_0")
     p.add_argument("-cache_dir", default="./cache")
     p.add_argument("-node_buckets", default="",
-                   help="comma-separated padding buckets for node counts; "
-                        "coarser buckets = fewer XLA compiles")
+                   help="comma-separated padding buckets for node counts "
+                        "(coarser buckets = fewer XLA compiles), or "
+                        "'auto[:G]' to derive a cost-optimal <=G-step "
+                        "ladder from the loaded splits at fit() time "
+                        "(pairs well with -trim_remainder)")
     p.add_argument("-pocket_buckets", default="")
     p.add_argument("-pack", action="store_true",
                    help="bin-pack several small complexes into one padded "
@@ -189,7 +192,11 @@ def config_from_args(a: argparse.Namespace) -> Config:
             data=a.data, data_fraction=a.data_fraction, split=a.split,
             n_jobs=a.n_jobs, raw_data_path=a.raw_data_path,
             split_files_path=a.split_files_path, cache_dir=a.cache_dir,
-            **({"node_buckets": tuple(int(x) for x in a.node_buckets.split(","))}
+            **(({"auto_buckets_max": int(a.node_buckets.split(":")[1])
+                 if ":" in a.node_buckets else 12}
+                if a.node_buckets.startswith("auto") else
+                {"node_buckets": tuple(int(x)
+                                       for x in a.node_buckets.split(","))})
                if a.node_buckets else {}),
             **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
                if a.pocket_buckets else {}),

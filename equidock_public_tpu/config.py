@@ -168,6 +168,10 @@ class DataConfig:
     # smallest bucket that fits (bounds XLA recompilations; SURVEY §7.3).
     node_buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
     pocket_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    # `-node_buckets auto[:G]`: derive a cost-optimal <=G-step ladder from
+    # the loaded splits' size distribution at fit() time (auto_node_buckets)
+    # instead of using the fixed ladder above. 0 = off.
+    auto_buckets_max: int = 0
     swap_train: bool = True          # 50% ligand/receptor swap (db5_data.py:174-188)
     # Complex packing: bin-pack several small complexes into one padded slot
     # (block-diagonal neighbor tables + seg-masked attention/losses) — kills
@@ -311,6 +315,51 @@ class Config:
                               val_repeats=6),
             data=DataConfig(data="db5"),
         )
+
+
+def auto_node_buckets(sizes, max_groups: int = 12, align: int = 64,
+                      quad_at: int = 640) -> Tuple[int, ...]:
+    """Cost-optimal node-bucket ladder for a KNOWN size distribution.
+
+    Minimizes sum_pairs c(B(s)) with c(B) = B + B^2/quad_at: the linear term
+    models the O(N) edge/elementwise work, the quadratic one the O(N^2)
+    cross attention; at the paper model's D=64/K=10 the two are equal near
+    N=640 (N*K*D^2 == N^2*D). Exact DP over align-rounded candidate
+    boundaries, O(n^2 * max_groups) with n = distinct aligned sizes.
+
+    Designed to compose with `-trim_remainder`, where batch-slot padding no
+    longer punishes small bucket groups (PERF.md round-5 table). No
+    reference counterpart: DGL rebuilds exact per-batch graphs, so the
+    reference never pads — and never amortizes an XLA compile either.
+    """
+    import numpy as _np
+
+    arr = _np.sort(_np.asarray([int(s) for s in sizes]))
+    if arr.size == 0:
+        raise ValueError("auto_node_buckets: empty size list")
+    cand = sorted({-(-int(s) // align) * align for s in arr.tolist()})
+    prefix = _np.searchsorted(arr, cand, side="right")   # pairs <= cand[j]
+    n = len(cand)
+    cost_b = [b + b * b / float(quad_at) for b in cand]
+    G = max(1, min(max_groups, n))
+    INF = float("inf")
+    best = [[INF] * (G + 1) for _ in range(n)]
+    back = [[-1] * (G + 1) for _ in range(n)]
+    for j in range(n):
+        best[j][1] = float(prefix[j]) * cost_b[j]
+    for k in range(2, G + 1):
+        for j in range(k - 1, n):
+            for i in range(k - 2, j):
+                c = best[i][k - 1] + float(prefix[j] - prefix[i]) * cost_b[j]
+                if c < best[j][k]:
+                    best[j][k] = c
+                    back[j][k] = i
+    k_star = min(range(1, G + 1), key=lambda k: best[n - 1][k])
+    out, j, k = [], n - 1, k_star
+    while j >= 0 and k >= 1:
+        out.append(cand[j])
+        j, k = back[j][k], k - 1
+    return tuple(sorted(out))
 
 
 def bucket_for(n: int, buckets: Tuple[int, ...]) -> int:

@@ -221,6 +221,19 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     test_ds = DockingDataset(cfg, "test", swap=False)
     log(f"Train:{len(train_ds)} Valid:{len(val_ds)} Test:{len(test_ds)}")
 
+    if cfg.data.auto_buckets_max:
+        from ..config import auto_node_buckets
+
+        sizes = [ds.pair_max_nodes(i)
+                 for ds in (train_ds, val_ds, test_ds)
+                 for i in range(len(ds.codes))]
+        ladder = auto_node_buckets(sizes, cfg.data.auto_buckets_max)
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, node_buckets=ladder, auto_buckets_max=0))
+        for ds in (train_ds, val_ds, test_ds):
+            ds.cfg = cfg
+        log(f"auto node buckets ({len(ladder)} steps): {ladder}")
+
     if state is None:
         from ..models.iegmn import init_docking_model
 
@@ -308,8 +321,6 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     step_fn = None
     par = cfg.parallel
     if par.dp * par.gp > 1 and resident is None:
-        import dataclasses
-
         from ..parallel.mesh import make_mesh, replicate, shard_batch
         from ..parallel.train import make_parallel_train_step
 
