@@ -236,6 +236,8 @@ def _resident_epoch_fields() -> dict:
         "real_epoch_pairs": len(ds),
         "real_epoch_source": source,
         "real_epoch_vs_baseline": round(len(ds) / dt / 25.0, 3),
+        "real_epoch_buckets": len(cfg.data.node_buckets),
+        "real_epoch_trim": cfg.train.trim_remainder,
     }
 
 

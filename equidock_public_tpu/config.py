@@ -151,7 +151,10 @@ class TrainConfig:
     # pm-normalized loss) with the same step membership; at DB5 scale the
     # dead slots are ~15-30% of scheduled compute on fine bucket ladders
     # (PERF.md round-5 table). Adds at most one extra compile per (bucket,
-    # r) pair, closed after the first epoch.
+    # r) pair, closed after the first epoch. Applies to the single-device
+    # and streamed resident runners; the dp runner ignores it (its per-shard
+    # width bs/dp already bounds final-step dead slots at (bs/dp - 1)*dp
+    # per group, and a cross-shard trimmed step would need a common width).
     trim_remainder: bool = False
 
 
