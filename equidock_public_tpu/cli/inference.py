@@ -50,6 +50,32 @@ def main():
         bn_state = (init_bn_state(cfg.model)
                     if uses_batch_norm(cfg.model) else None)
 
+    if cfg.data.auto_buckets_max:
+        # `-node_buckets auto[:G]` at inference: derive the ladder from the
+        # input set itself (one cheap PDB-parse prescan; the same files are
+        # re-read with featurization during inference proper).
+        import dataclasses
+        import os
+
+        from ..config import auto_node_buckets
+        from ..data.featurize import filter_residues
+        from ..data.pdb import group_residues, read_pdb
+
+        sizes = []
+        for f in sorted(os.listdir(a.input_dir)):
+            if not f.endswith("_l_b.pdb"):
+                continue
+            stem = f[: -len("_l_b.pdb")]
+            rec = os.path.join(a.ground_truth_dir, f"{stem}_r_b_COMPLEX.pdb")
+            for path in (os.path.join(a.input_dir, f), rec):
+                if os.path.exists(path):
+                    sizes.append(len(filter_residues(group_residues(
+                        read_pdb(path)))))
+        ladder = auto_node_buckets(sizes, cfg.data.auto_buckets_max)
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, node_buckets=ladder, auto_buckets_max=0))
+        print(f"auto node buckets ({len(ladder)} steps): {ladder}")
+
     method = a.method_name + ("_no_clashes" if a.remove_clashes else "")
     if a.batched:
         from ..eval.batch_inference import run_batched_inference
