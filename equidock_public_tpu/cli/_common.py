@@ -198,7 +198,11 @@ def config_from_args(a: argparse.Namespace) -> Config:
                 {"node_buckets": tuple(int(x)
                                        for x in a.node_buckets.split(","))})
                if a.node_buckets else {}),
-            **({"pocket_buckets": tuple(int(x) for x in a.pocket_buckets.split(","))}
+            **(({"auto_pocket_max": int(a.pocket_buckets.split(":")[1])
+                 if ":" in a.pocket_buckets else 8}
+                if a.pocket_buckets.startswith("auto") else
+                {"pocket_buckets": tuple(int(x)
+                                         for x in a.pocket_buckets.split(","))})
                if a.pocket_buckets else {}),
             pack=a.pack, pack_max_per_slot=a.pack_max_per_slot,
             device_resident=a.device_resident,

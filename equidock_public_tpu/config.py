@@ -175,6 +175,10 @@ class DataConfig:
     # the loaded splits' size distribution at fit() time (auto_node_buckets)
     # instead of using the fixed ladder above. 0 = off.
     auto_buckets_max: int = 0
+    # `-pocket_buckets auto[:G]` — same, for pocket-midpoint counts (the
+    # Sinkhorn cost matrix is K x K, so the quadratic term dominates:
+    # quad_at=256, align=32).
+    auto_pocket_max: int = 0
     swap_train: bool = True          # 50% ligand/receptor swap (db5_data.py:174-188)
     # Complex packing: bin-pack several small complexes into one padded slot
     # (block-diagonal neighbor tables + seg-masked attention/losses) — kills

@@ -221,18 +221,30 @@ def fit(cfg: Config, state: Optional[TrainState] = None,
     test_ds = DockingDataset(cfg, "test", swap=False)
     log(f"Train:{len(train_ds)} Valid:{len(val_ds)} Test:{len(test_ds)}")
 
-    if cfg.data.auto_buckets_max:
+    if cfg.data.auto_buckets_max or cfg.data.auto_pocket_max:
         from ..config import auto_node_buckets
 
-        sizes = [ds.pair_max_nodes(i)
-                 for ds in (train_ds, val_ds, test_ds)
-                 for i in range(len(ds.codes))]
-        ladder = auto_node_buckets(sizes, cfg.data.auto_buckets_max)
+        repl = {"auto_buckets_max": 0, "auto_pocket_max": 0}
+        if cfg.data.auto_buckets_max:
+            sizes = [ds.pair_max_nodes(i)
+                     for ds in (train_ds, val_ds, test_ds)
+                     for i in range(len(ds.codes))]
+            repl["node_buckets"] = auto_node_buckets(
+                sizes, cfg.data.auto_buckets_max)
+            log(f"auto node buckets ({len(repl['node_buckets'])} steps): "
+                f"{repl['node_buckets']}")
+        if cfg.data.auto_pocket_max:
+            psizes = [ds.pocket_size(i)
+                      for ds in (train_ds, val_ds, test_ds)
+                      for i in range(len(ds.codes))]
+            repl["pocket_buckets"] = auto_node_buckets(
+                psizes, cfg.data.auto_pocket_max, align=32, quad_at=256)
+            log(f"auto pocket buckets ({len(repl['pocket_buckets'])} "
+                f"steps): {repl['pocket_buckets']}")
         cfg = dataclasses.replace(cfg, data=dataclasses.replace(
-            cfg.data, node_buckets=ladder, auto_buckets_max=0))
+            cfg.data, **repl))
         for ds in (train_ds, val_ds, test_ds):
             ds.cfg = cfg
-        log(f"auto node buckets ({len(ladder)} steps): {ladder}")
 
     if state is None:
         from ..models.iegmn import init_docking_model
