@@ -193,26 +193,43 @@ def serve_batched(params, cfg, forward_fn, max_batch: int, window_ms: float):
 
         ok = [e for e in entries if e["err"] is None]
         if ok:
-            try:
-                ligs = [e["lig"] for e in ok]
-                recs = [e["rec"] for e in ok]
-                batch = collate(
-                    ligs, recs, [g.x for g in ligs],
-                    [g.x for g in ligs],
-                    [np.zeros((4, 3), np.float32)] * len(ok),
-                    [np.zeros((4, 3), np.float32)] * len(ok),
-                    cfg.data.node_buckets, cfg.data.pocket_buckets,
-                    batch_size=max_batch)
-                out = forward_fn(params, batch)
-                R = np.asarray(out["R"])
-                t = np.asarray(out["t"])
-            except Exception as e_:  # whole batch failed; keep serving
-                for e in ok:
-                    e["err"] = f"{type(e_).__name__}: {e_}"
-                ok = []
-            for i, e in enumerate(ok):
+            # ADVICE r4: co-batched requests are grouped by (ligand,
+            # receptor) bucket pair so a small request never pads to a
+            # large co-arrival's bucket; each group rides one forward (same
+            # shape universe the -warmup_buckets pre-jit enumerates).
+            from ..config import bucket_for
+
+            by_bucket: dict = {}
+            for e in ok:
+                kb = (bucket_for(e["n_lig"], cfg.data.node_buckets),
+                      bucket_for(e["n_rec"], cfg.data.node_buckets))
+                by_bucket.setdefault(kb, []).append(e)
+            for ents in by_bucket.values():
                 try:
-                    moved = (R[i] @ e["table"].coords.T).T + t[i]
+                    ligs = [e["lig"] for e in ents]
+                    recs = [e["rec"] for e in ents]
+                    batch = collate(
+                        ligs, recs, [g.x for g in ligs],
+                        [g.x for g in ligs],
+                        [np.zeros((4, 3), np.float32)] * len(ents),
+                        [np.zeros((4, 3), np.float32)] * len(ents),
+                        cfg.data.node_buckets, cfg.data.pocket_buckets,
+                        batch_size=max_batch)
+                    out = forward_fn(params, batch)
+                    R = np.asarray(out["R"])
+                    t = np.asarray(out["t"])
+                except Exception as e_:  # whole group failed; keep serving
+                    for e in ents:
+                        e["err"] = f"{type(e_).__name__}: {e_}"
+                    continue
+                for i, e in enumerate(ents):
+                    e["rigid"] = (R[i], t[i])
+            for e in ok:
+                if e["err"] is not None:
+                    continue
+                try:
+                    R_i, t_i = e["rigid"]
+                    moved = (R_i @ e["table"].coords.T).T + t_i
                     if e["req"].get("remove_clashes", False):
                         from ..eval.inference import remove_clashes_descent
 
@@ -236,9 +253,9 @@ def serve_batched(params, cfg, forward_fn, max_batch: int, window_ms: float):
                 # ADVICE r4: report both figures — `batch_seconds` is the
                 # actual wall time of the co-batched dispatch (the latency a
                 # caller experienced), `seconds` the amortized per-request
-                # share (the throughput figure). Small requests co-batched
-                # with a large one pad to its node bucket, so their amortized
-                # share can overstate their standalone cost.
+                # share (the throughput figure). Requests are grouped by
+                # bucket pair above, so a small request's share reflects its
+                # own bucket, not a large co-arrival's.
                 print(json.dumps({"output": e["req"]["output"],
                                   "seconds": round(dt / max(len(ok), 1), 4),
                                   "batch_seconds": round(dt, 4),
