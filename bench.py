@@ -175,19 +175,22 @@ def _resident_epoch_fields() -> dict:
     from equidock_public_tpu.train.step import create_train_state
 
     cfg = Config.dips_paper_model()
-    # Round-5 throughput config (VERDICT r4 item 4): a fine symmetric bucket
-    # ladder (padded-node waste 38.2% -> 11.3% on DB5 train) composed with
-    # `-trim_remainder` (the n % bs leftover pairs of each group run as one
-    # narrow scan step, so the fine ladder's small groups don't pay bs-wide
-    # dead slots). Both are user-reachable flags of the same production
-    # training path; compiles are closed by the warm epoch + persistent cache.
+    # Round-5 throughput config (VERDICT r4 item 4): `-trim_remainder` (the
+    # n % bs leftover pairs of each group run as one narrow scan step) on
+    # the r4 bucket ladder. Measured on the tunneled chip (PERF.md round-5
+    # table): trim cuts the padded compute 26% at the SAME dispatch count,
+    # while fine ladders (12 steps, 11.3% node waste) LOSE end-to-end —
+    # each extra bucket group adds a dispatch+host-sync round-trip, and
+    # through the tunnel that latency dominates the saved FLOPs. On locally
+    # attached chips the crossover moves toward finer ladders; both knobs
+    # are env-overridable here and user-reachable flags in training.
+    ladder = tuple(int(x) for x in os.environ.get(
+        "BENCH_LADDER", "512,1024,2048,3072").split(","))
+    trim = os.environ.get("BENCH_TRIM", "1") not in ("", "0")
     cfg = dataclasses.replace(
         cfg,
-        data=dataclasses.replace(
-            cfg.data,
-            node_buckets=(256, 320, 384, 448, 512, 640, 768, 1024, 1280,
-                          1536, 2048, 3072)),
-        train=dataclasses.replace(cfg.train, trim_remainder=True))
+        data=dataclasses.replace(cfg.data, node_buckets=ladder),
+        train=dataclasses.replace(cfg.train, trim_remainder=trim))
     cache = ("./cache/db5_residues_maxneighbor_10_cutoff_30.0_pocketCut_8.0/"
              "cv_0/train.npz")
     if (os.path.exists(cache)
